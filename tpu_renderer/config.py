@@ -1,0 +1,74 @@
+"""Central configuration for the renderer.
+
+The reference scatters every knob as a compile-time constant (window extent
+1700x900 `vk_engine.h:219`, FRAME_OVERLAP=3 `vk_engine.h:77`, camera speed
+`camera.h:7`, FOV/near/far `vk_engine.cpp:1492-1493`, lighting
+`vk_engine.cpp:1496-1498`, background defaults `vk_engine.cpp:977-984`).
+Here they all live in one dataclass.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class RendererConfig:
+    # --- Framebuffer / window (vk_engine.h:219: 1700x900 default window) ---
+    width: int = 1700
+    height: int = 900
+
+    # --- Projection (vk_engine.cpp:1492-1494) ---
+    # glm::perspective(radians(70), w/h, 10000, 0.1) with GLM_FORCE_DEPTH_ZERO_TO_ONE
+    # and proj[1][1] *= -1. Near/far are intentionally swapped: reversed-Z
+    # (depth 1.0 at distance 0.1, depth 0.0 at distance 10000).
+    fov_y_deg: float = 70.0
+    z_near: float = 10000.0
+    z_far: float = 0.1
+
+    # --- Depth attachment (vk_initializers.cpp:144, vk_engine.cpp:1659) ---
+    # Cleared to 0.0 every frame; compare op GREATER_OR_EQUAL.
+    depth_clear: float = 0.0
+
+    # --- Camera (vk_engine.cpp:203-210, camera.h:7) ---
+    camera_position: Tuple[float, float, float] = (30.0, 0.0, -85.0)
+    camera_speed: float = 0.8
+
+    # --- Lighting (vk_engine.cpp:1496-1498) ---
+    ambient_color: Tuple[float, float, float, float] = (0.1, 0.1, 0.1, 0.1)
+    sunlight_direction: Tuple[float, float, float, float] = (0.0, 1.0, 0.5, 1.0)
+    sunlight_color: Tuple[float, float, float, float] = (1.0, 1.0, 1.0, 1.0)
+
+    # --- Background compute pass (vk_engine.cpp:933-1004) ---
+    # effect 0 = "gradient" (gradient_color.comp; data1=top color, data2=bottom
+    # color; defaults (1,1,1,1)/(1,1,1,1) => solid white, vk_engine.cpp:977-978)
+    # effect 1 = "sky" (sky.comp; data1.rgb = sky color, data1.w = star
+    # threshold; default (0.1,0.2,0.4,0.97), vk_engine.cpp:984)
+    background_effect: int = 0
+    gradient_data1: Tuple[float, float, float, float] = (1.0, 1.0, 1.0, 1.0)
+    gradient_data2: Tuple[float, float, float, float] = (1.0, 1.0, 1.0, 1.0)
+    sky_data1: Tuple[float, float, float, float] = (0.1, 0.2, 0.4, 0.97)
+
+    # --- TPU rasterizer knobs (no reference counterpart; ours) ---
+    # Framebuffer tile size for the Pallas raster kernel. Last dim 128 matches
+    # the VPU lane width; 32 sublanes keeps edge-function arrays register-friendly.
+    tile_h: int = 32
+    tile_w: int = 128
+    # Triangles are processed in fixed-size chunks inside the raster loop.
+    tri_chunk: int = 256
+    # Per-tile bin capacity for the binned rasterizer (overflow falls back to
+    # the chunked path for the remainder).
+    bin_capacity: int = 2048
+    # Framebuffer storage dtype. The reference draw image is
+    # R16G16B16A16_SFLOAT (vk_engine.cpp:749); storing fp16 reproduces its
+    # quantization. Depth is D32_SFLOAT (vk_engine.cpp:774) => f32.
+    framebuffer_fp16: bool = True
+
+    @property
+    def aspect(self) -> float:
+        return float(self.width) / float(self.height)
+
+    def with_extent(self, width: int, height: int) -> "RendererConfig":
+        """Resize path (vk_engine.cpp:1520-1534): re-jit at the new extent."""
+        return dataclasses.replace(self, width=width, height=height)
