@@ -1,26 +1,178 @@
-"""Engine façade — init/run/draw/cleanup API in the shape of the reference's
-VulkanEngine (vk_engine.h:223-226), minus the windowing: frames are rendered
-headless and presented as numpy images / PNG files.
+"""Engine façade — init/run/draw/cleanup in the shape of the reference's
+VulkanEngine (vk_engine.h:79-227, init vk_engine.cpp:171-201, run
+:1161-1203, draw :1218-1339, cleanup :1131-1159), headless.
 
-Filled in as the pipeline stages land; see tpu_renderer.pipeline for the
-jit-compiled frame function.
+What disappears on TPU: instance/device bring-up (jax.devices()), swapchain
+and semaphores (async dispatch + block_until_ready pacing replaces
+FRAME_OVERLAP=3), command recording (the frame is one jitted call),
+descriptor pools and pipeline objects (function specialization).
+
+What stays: the frame loop, the FPS camera, scene update, the EngineStats
+counters, and the background-effect selection.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_renderer import math3d, scene as scene_mod
+from tpu_renderer.camera import Camera
+from tpu_renderer.config import RendererConfig
+from tpu_renderer.pipeline import FrameParams, render_frame
+from tpu_renderer.kernels import raster
 
 
 @dataclasses.dataclass
 class EngineStats:
     """Mirror of EngineStats (vk_engine.h:16-22)."""
 
-    frame_time: float = 0.0  # ms
+    frame_time: float = 0.0        # ms
     triangle_count: int = 0
     drawcall_count: int = 0
     scene_update_time: float = 0.0  # ms
-    mesh_draw_time: float = 0.0  # ms
+    mesh_draw_time: float = 0.0     # ms
 
 
-class Engine:  # placeholder until pipeline lands
-    pass
+class Engine:
+    def __init__(self, config: Optional[RendererConfig] = None):
+        self.config = config or RendererConfig()
+        self.stats = EngineStats()
+        self.camera = Camera(position=self.config.camera_position,
+                             speed=self.config.camera_speed)
+        self.scene: Optional[scene_mod.LoadedScene] = None
+        self.flat: Optional[scene_mod.FlattenedDrawList] = None
+        self.frame_number = 0
+        self.current_background_effect = self.config.background_effect
+        self._caps = None
+        self._last_aux = None
+
+    # -- init (vk_engine.cpp:171-201) ---------------------------------------
+
+    def init(self, scene_path: Optional[str] = None,
+             scene: Optional[scene_mod.LoadedScene] = None) -> None:
+        if scene is not None:
+            self.scene = scene
+        elif scene_path is not None:
+            self.scene = scene_mod.load_scene(scene_path)
+        else:
+            # empty scene: background only
+            self.scene = scene_mod.LoadedScene()
+            scene_mod.default_materials_and_textures(self.scene)
+        self.flat = scene_mod.flatten_scene(self.scene)
+        self._compute_caps()
+
+    def _compute_caps(self) -> None:
+        """Static binning capacities from scene size (re-jit on change)."""
+        b = self.flat.buffers
+        n_chunks = max(
+            b.opaque_tri_vidx.shape[0] // raster.CHUNK,
+            b.transp_tri_vidx.shape[0] // raster.CHUNK,
+            1,
+        )
+        cfg = self.config
+        wp = -(-cfg.width // cfg.tile_w) * cfg.tile_w
+        hp = -(-cfg.height // cfg.tile_h) * cfg.tile_h
+        n_tiles = (wp // cfg.tile_w) * (hp // cfg.tile_h)
+        # every chunk could touch ~a few tiles; cap generously, power of two
+        entry_cap = 1 << max(10, int(np.ceil(np.log2(8 * n_chunks + n_tiles))))
+        bin_cap = int(min(max(256, n_chunks), 4096))
+        self._caps = dict(entry_cap=entry_cap, bin_cap=bin_cap)
+
+    # -- per-frame ------------------------------------------------------------
+
+    def frame_params(self) -> FrameParams:
+        """update_scene's uniform block (vk_engine.cpp:1479-1512)."""
+        cfg = self.config
+        proj = math3d.vulkan_perspective(
+            math3d.radians(cfg.fov_y_deg), cfg.aspect, cfg.z_near, cfg.z_far)
+        view = self.camera.get_view_matrix()
+        if self.current_background_effect == 0:
+            d1, d2 = cfg.gradient_data1, cfg.gradient_data2
+        else:
+            d1, d2 = cfg.sky_data1, (0.0, 0.0, 0.0, 0.0)
+        return FrameParams(
+            view=jnp.asarray(view),
+            proj=jnp.asarray(proj),
+            bg_effect=jnp.int32(self.current_background_effect),
+            bg_data1=jnp.asarray(d1, jnp.float32),
+            bg_data2=jnp.asarray(d2, jnp.float32),
+            ambient=jnp.asarray(cfg.ambient_color, jnp.float32),
+            sun_dir=jnp.asarray(cfg.sunlight_direction, jnp.float32),
+            sun_color=jnp.asarray(cfg.sunlight_color, jnp.float32),
+        )
+
+    def update_scene(self) -> FrameParams:
+        t0 = time.perf_counter()
+        self.camera.update()
+        params = self.frame_params()
+        self.stats.scene_update_time = (time.perf_counter() - t0) * 1000.0
+        return params
+
+    def draw(self, block: bool = True) -> np.ndarray:
+        """Render one frame; returns the (H, W, 4) uint8 image."""
+        params = self.update_scene()
+        cfg = self.config
+        t0 = time.perf_counter()
+        image, aux = render_frame(
+            self.flat.buffers, params,
+            width=cfg.width, height=cfg.height,
+            tile_h=cfg.tile_h, tile_w=cfg.tile_w,
+            peels=4, fp16=cfg.framebuffer_fp16,
+            **self._caps,
+        )
+        if block:
+            image.block_until_ready()
+        self.stats.mesh_draw_time = (time.perf_counter() - t0) * 1000.0
+        self._last_aux = aux
+        self._update_stats(aux)
+        self.frame_number += 1
+        return np.asarray(image)
+
+    def _update_stats(self, aux) -> None:
+        b = self.flat.buffers
+        n_transp_draws = int(np.sum(~np.asarray(b.draw_opaque_mask)))
+        n_transp_tris = int(np.sum(np.asarray(b.transp_tri_valid)))
+        tri = int(aux.get("opaque_triangles", 0)) + n_transp_tris
+        draws = int(aux.get("visible_opaque_draws", 0)) + n_transp_draws
+        self.stats.triangle_count = tri
+        self.stats.drawcall_count = draws
+        overflow = int(aux.get("bin_overflow", 0)) + int(
+            aux.get("bin_overflow_transparent", 0))
+        if overflow:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "bin overflow: %d entries dropped — raise bin_cap", overflow)
+
+    # -- frame loop (vk_engine.cpp:1161-1203) --------------------------------
+
+    def run(self, n_frames: int, on_frame=None) -> np.ndarray:
+        """Headless run(): n_frames of update+draw; returns the last frame.
+
+        on_frame(engine, frame_idx, image) may inject input (camera keys /
+        cursor) — the replacement for the GLFW callbacks (camera.h:33-41).
+        """
+        image = None
+        for i in range(n_frames):
+            t0 = time.perf_counter()
+            image = self.draw()
+            self.stats.frame_time = (time.perf_counter() - t0) * 1000.0
+            if on_frame is not None:
+                on_frame(self, i, image)
+        return image
+
+    def resize(self, width: int, height: int) -> None:
+        """resize_swapchain analog (vk_engine.cpp:1520-1534): re-jit at the
+        new static extent (cached per extent by jax.jit)."""
+        self.config = self.config.with_extent(width, height)
+        self._compute_caps()
+
+    def cleanup(self) -> None:
+        self.scene = None
+        self.flat = None

@@ -1,0 +1,175 @@
+"""Vertex stage + triangle setup — the TPU equivalent of mesh.vert
+(shaders/mesh.vert:29-38) plus the fixed-function primitive assembly inside
+vkCmdDrawIndexed (vk_engine.cpp:1453).
+
+Design (TPU-first, not a translation):
+
+* All draws are processed as one batched op over a flat triangle array —
+  the reference's per-draw loop with push constants (vk_engine.cpp:1409-1453)
+  becomes a gather of per-draw matrices by ``tri_draw`` id.
+* Rasterization is set up in **2D homogeneous coordinates** (no near-plane
+  clipping pass needed): for each triangle we compute the adjugate of
+  M = [[Xh0,Xh1,Xh2],[Yh0,Yh1,Yh2],[w0,w1,w2]] where (Xh, Yh) are
+  viewport-mapped clip coords kept homogeneous. For a pixel p = (X, Y, 1),
+  c = adj(M) @ p / det gives perspective-correct barycentric weights:
+  the pixel is inside iff all c_i > 0 (plus a top-left tie rule), attributes
+  interpolate as sum(c_i * a_i) / sum(c_i), and NDC depth is the affine
+  function z(X, Y) = sum(c_i * zclip_i). Triangles fully behind the eye
+  self-reject (no pixel with w=1 is a positive combination of negative-w
+  vertices), and the per-pixel z in [0,1] test reproduces near/far clipping.
+* Frustum culling replicates is_visible (vk_engine.cpp:56-86) per draw on
+  device, including its quirks (plain w-divide without sign guard, [-1.5,1.5]
+  min/max seeds).
+
+Packed setup row layout (16 f32 per triangle, lane-padded):
+  [A0,B0,C0, A1,B1,C1, A2,B2,C2, zA,zB,zC, valid, mat_id, 0, 0]
+where edge_i(X, Y) = A_i*X + B_i*Y + C_i (already normalized by |det| so the
+edge values ARE the barycentric weights c_i).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+# Column indices in the packed setup row.
+COL_E = 0          # 9 edge coefficients
+COL_Z = 9          # 3 depth-plane coefficients
+COL_VALID = 12
+COL_MAT = 13
+SETUP_COLS = 16
+
+# Number of per-corner attribute channels: normal(3) + color_rgb(3) + uv(2)
+ATTR_COLS = 8
+
+
+class TriangleSetup(NamedTuple):
+    packed: jax.Array   # (T, 16) f32 — see layout above
+    aabb: jax.Array     # (T, 4) f32 — (xmin, ymin, xmax, ymax) in pixels, clamped
+    attrs: jax.Array    # (T, 3, ATTR_COLS) f32 — per-corner shading attributes
+    valid: jax.Array    # (T,) bool
+
+
+def draw_visibility(viewproj, draw_model, bounds_origin, bounds_extents):
+    """Per-draw frustum cull — exact semantics of is_visible (vk_engine.cpp:56-86).
+
+    bounds_origin/extents: (D, 3) AABB center/half-extent in mesh space.
+    Returns (D,) bool.
+    """
+    corners = jnp.array(
+        [[1, 1, 1], [1, 1, -1], [1, -1, 1], [1, -1, -1],
+         [-1, 1, 1], [-1, 1, -1], [-1, -1, 1], [-1, -1, -1]],
+        dtype=jnp.float32,
+    )  # vk_engine.cpp:57-60
+    m = jnp.einsum("ij,djk->dik", viewproj, draw_model)  # viewproj * obj.transform
+    pts = bounds_origin[:, None, :] + corners[None, :, :] * bounds_extents[:, None, :]
+    pts_h = jnp.concatenate([pts, jnp.ones_like(pts[..., :1])], axis=-1)  # (D,8,4)
+    v = jnp.einsum("dij,dcj->dci", m, pts_h)  # (D,8,4)
+    # vk_engine.cpp:73-75 — unguarded w-divide (quirk kept: no w>0 test)
+    ndc = v[..., :3] / v[..., 3:4]
+    # vk_engine.cpp:64-65 — min/max seeded at +-1.5
+    mn = jnp.minimum(ndc.min(axis=1), 1.5)
+    mx = jnp.maximum(ndc.max(axis=1), -1.5)
+    # vk_engine.cpp:81-86
+    rejected = (
+        (mn[:, 2] > 1.0) | (mx[:, 2] < 0.0)
+        | (mn[:, 0] > 1.0) | (mx[:, 0] < -1.0)
+        | (mn[:, 1] > 1.0) | (mx[:, 1] < -1.0)
+    )
+    return ~rejected
+
+
+def triangle_setup(
+    positions,      # (V, 3) f32
+    normals,        # (V, 3) f32
+    colors,         # (V, 4) f32
+    uvs,            # (V, 2) f32
+    tri_vidx,       # (T, 3) i32 — global vertex ids per corner
+    tri_draw,       # (T,) i32 — draw id per triangle
+    tri_valid,      # (T,) bool — padding mask
+    draw_model,     # (D, 4, 4) f32 — node world matrices
+    draw_visible,   # (D,) bool — frustum cull result (True = render)
+    draw_mat,       # (D,) i32 — material id per draw
+    mat_color_factors,  # (M, 4) f32 — material UBO color_factors
+    viewproj,       # (4, 4) f32
+    width: int,
+    height: int,
+) -> TriangleSetup:
+    """Batched mesh.vert + primitive setup. All shapes static; fully jittable."""
+    f32 = jnp.float32
+    W = f32(width)
+    H = f32(height)
+
+    mvp = jnp.einsum("ij,djk->dik", viewproj, draw_model)           # (D,4,4)
+    m = mvp[tri_draw]                                                # (T,4,4)
+    pos = positions[tri_vidx]                                        # (T,3,3)
+    pos_h = jnp.concatenate([pos, jnp.ones_like(pos[..., :1])], -1)  # (T,3,4)
+    clip = jnp.einsum("tij,tcj->tci", m, pos_h)                      # (T,3,4)
+
+    w = clip[..., 3]
+    zc = clip[..., 2]
+    # Vulkan viewport transform kept homogeneous: X = (x/w*0.5 + 0.5)*W etc.
+    xh = (clip[..., 0] + w) * (f32(0.5) * W)
+    yh = (clip[..., 1] + w) * (f32(0.5) * H)
+    p = jnp.stack([xh, yh, w], axis=-1)                              # (T,3,3) corners x (Xh,Yh,w)
+
+    # adj(M) rows = cross products of the other two columns (columns = corners)
+    e0 = jnp.cross(p[:, 1], p[:, 2])
+    e1 = jnp.cross(p[:, 2], p[:, 0])
+    e2 = jnp.cross(p[:, 0], p[:, 1])
+    det = jnp.sum(e0 * p[:, 0], axis=-1)
+
+    good = tri_valid & (tri_draw >= 0) & draw_visible[tri_draw] & (det != 0.0) & jnp.isfinite(det)
+
+    s = jnp.where(det < 0, f32(-1.0), f32(1.0))[:, None]
+    inv_det = jnp.where(det == 0.0, f32(0.0), f32(1.0) / jnp.abs(det))[:, None]
+    c0 = e0 * s * inv_det
+    c1 = e1 * s * inv_det
+    c2 = e2 * s * inv_det
+    cplane = jnp.stack([c0, c1, c2], axis=1)                          # (T,3,3)
+
+    # Degenerate/culled triangles: force edges to "never covered" (c = -1).
+    dead_row = jnp.array([0.0, 0.0, -1.0], f32)
+    cplane = jnp.where(good[:, None, None], cplane, dead_row[None, None, :])
+
+    # Depth plane: z(X,Y) = sum_i c_i(X,Y) * zclip_i  — affine in (X,Y).
+    zplane = jnp.einsum("tec,te->tc", cplane, zc)                     # (T,3)
+
+    # Screen AABB for binning. Only trustworthy when all w are comfortably
+    # positive; otherwise the triangle crosses the eye plane and its screen
+    # footprint is unbounded => conservative full frame.
+    w_ok = jnp.all(w > f32(1e-6), axis=-1)
+    safe_w = jnp.where(w == 0.0, f32(1e-20), w)
+    sx = xh / safe_w
+    sy = yh / safe_w
+    xmin = jnp.where(w_ok, sx.min(-1), f32(0.0))
+    ymin = jnp.where(w_ok, sy.min(-1), f32(0.0))
+    xmax = jnp.where(w_ok, sx.max(-1), W)
+    ymax = jnp.where(w_ok, sy.max(-1), H)
+    empty = jnp.array([-1.0, -1.0, -2.0, -2.0], f32)  # xmax < xmin => binned nowhere
+    aabb = jnp.stack(
+        [jnp.clip(xmin, 0.0, W), jnp.clip(ymin, 0.0, H),
+         jnp.clip(xmax, 0.0, W), jnp.clip(ymax, 0.0, H)], axis=-1)
+    aabb = jnp.where(good[:, None], aabb, empty[None, :])
+
+    # Per-corner shading attributes.
+    mat_id = jnp.where(good, draw_mat[tri_draw], 0).astype(jnp.int32)
+    n = normals[tri_vidx]                                             # (T,3,3)
+    # mesh.vert:35 — outNormal = (renderMatrix * vec4(n, 0)).xyz (NOT normalized)
+    model3 = draw_model[tri_draw][:, :3, :3]
+    n_world = jnp.einsum("tij,tcj->tci", model3, n)
+    # mesh.vert:36 — outColor = v.color.xyz * materialData.color_factors.xyz
+    col = colors[tri_vidx][..., :3] * mat_color_factors[mat_id][:, None, :3]
+    uv = uvs[tri_vidx]                                                # (T,3,2)
+    attrs = jnp.concatenate([n_world, col, uv], axis=-1)              # (T,3,8)
+
+    packed = jnp.zeros((tri_vidx.shape[0], SETUP_COLS), f32)
+    packed = packed.at[:, COL_E:COL_E + 9].set(cplane.reshape(-1, 9))
+    packed = packed.at[:, COL_Z:COL_Z + 3].set(zplane)
+    packed = packed.at[:, COL_VALID].set(good.astype(f32))
+    packed = packed.at[:, COL_MAT].set(mat_id.astype(f32))
+
+    return TriangleSetup(packed=packed, aabb=aabb, attrs=attrs, valid=good)

@@ -1,0 +1,179 @@
+"""The jit-compiled frame function — everything the reference does between
+fence-wait and present (vk_engine.cpp:1218-1339) collapsed into one pure
+function over device arrays:
+
+    background compute pass     (draw_background, vk_engine.cpp:1341-1355)
+    -> per-draw frustum cull    (is_visible, vk_engine.cpp:56-86; device-side)
+    -> vertex transform + setup (mesh.vert + primitive assembly)
+    -> tile binning + raster    (vkCmdDrawIndexed's fixed-function stage)
+    -> deferred shading         (mesh.frag)
+    -> transparent depth peels  (additive blend pass, vk_engine.cpp:1673-1676)
+    -> unorm8 convert           (swapchain blit, vk_images.cpp:33-64)
+
+All shapes are static per scene; the engine re-jits only when the scene or
+the framebuffer extent changes (the resize path, vk_engine.cpp:1520-1534).
+The command buffers, descriptor sets, pipeline barriers and semaphores of
+the reference have no equivalent here — XLA dataflow orders the passes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from tpu_renderer.kernels import background as bg
+from tpu_renderer.kernels import raster, shade, vertex
+from tpu_renderer.kernels.common import pad_extent
+from tpu_renderer.present import to_u8_image
+from tpu_renderer.resources import TextureAtlas
+
+
+class SceneBuffers(NamedTuple):
+    """Device-resident scene: the TPU analog of GPUMeshBuffers + material
+    descriptor sets + texture images (vk_types.h:106-110, vk_engine.h:45-75).
+    Triangle arrays are pre-padded to raster.CHUNK multiples.
+    """
+
+    positions: jax.Array          # (V, 3) f32
+    normals: jax.Array            # (V, 3) f32
+    colors: jax.Array             # (V, 4) f32
+    uvs: jax.Array                # (V, 2) f32
+    opaque_tri_vidx: jax.Array    # (To, 3) i32
+    opaque_tri_draw: jax.Array    # (To,) i32
+    opaque_tri_valid: jax.Array   # (To,) bool
+    transp_tri_vidx: jax.Array    # (Tt, 3) i32
+    transp_tri_draw: jax.Array    # (Tt,) i32
+    transp_tri_valid: jax.Array   # (Tt,) bool
+    draw_model: jax.Array         # (D, 4, 4) f32 node world transforms
+    draw_mat: jax.Array           # (D,) i32
+    draw_opaque_mask: jax.Array   # (D,) bool — draw belongs to the opaque pass
+    draw_bounds_origin: jax.Array   # (D, 3) f32
+    draw_bounds_extents: jax.Array  # (D, 3) f32
+    mat_color_factors: jax.Array  # (M, 4) f32
+    mat_tex: jax.Array            # (M,) i32 texture id for colorTex binding
+    mat_filter: jax.Array         # (M,) i32 sampler filter flags
+    atlas: TextureAtlas
+
+
+class FrameParams(NamedTuple):
+    """Per-frame uniforms: GPUSceneData (vk_types.h:118-125) + the background
+    push constants (vk_types.h:77-82)."""
+
+    view: jax.Array       # (4,4) f32
+    proj: jax.Array       # (4,4) f32
+    bg_effect: jax.Array  # () i32 — 0 gradient, 1 sky (vk_engine.h:137)
+    bg_data1: jax.Array   # (4,) f32
+    bg_data2: jax.Array   # (4,) f32
+    ambient: jax.Array    # (4,) f32
+    sun_dir: jax.Array    # (4,) f32 (w = unused here; .xyz as mesh.frag:13)
+    sun_color: jax.Array  # (4,) f32 (.w = sun power, mesh.frag:18)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "tile_h", "tile_w", "entry_cap",
+                     "bin_cap", "peels", "fp16"),
+)
+def render_frame(buffers: SceneBuffers, params: FrameParams, *,
+                 width: int, height: int, tile_h: int = 32, tile_w: int = 128,
+                 entry_cap: int = 1 << 15, bin_cap: int = 512,
+                 peels: int = 4, fp16: bool = True):
+    """Render one frame. Returns ((H, W, 4) uint8 image, aux dict)."""
+    wp, hp = pad_extent(width, height, tile_h, tile_w)
+    tiles_x, tiles_y = wp // tile_w, hp // tile_h
+    n_tiles = tiles_x * tiles_y
+
+    def q(x):
+        # the draw image is R16G16B16A16_SFLOAT (vk_engine.cpp:749): writes
+        # round to fp16
+        return x.astype(jnp.float16).astype(jnp.float32) if fp16 else x
+
+    viewproj = (params.proj @ params.view).astype(jnp.float32)
+
+    # --- background compute pass (color attachment then LOADs, not clears:
+    # vk_initializers.cpp:125) ------------------------------------------------
+    fb = jax.lax.switch(
+        jnp.clip(params.bg_effect, 0, 1),
+        [
+            lambda d1, d2: bg.gradient(d1, d2, height=height, width_pad=wp,
+                                       height_pad=hp, tile_h=tile_h, tile_w=tile_w),
+            lambda d1, d2: bg.sky(d1, height=height, width_pad=wp,
+                                  height_pad=hp, tile_h=tile_h, tile_w=tile_w),
+        ],
+        params.bg_data1, params.bg_data2,
+    )
+    fb = q(fb)
+
+    aux = {}
+    to = buffers.opaque_tri_vidx.shape[0]
+    tt = buffers.transp_tri_vidx.shape[0]
+
+    # --- frustum cull (opaque only — transparent surfaces are submitted
+    # unculled, vk_engine.cpp:1459-1465) --------------------------------------
+    vis = vertex.draw_visibility(viewproj, buffers.draw_model,
+                                 buffers.draw_bounds_origin,
+                                 buffers.draw_bounds_extents)
+    all_vis = jnp.ones_like(vis)
+    aux["visible_opaque_draws"] = jnp.sum(
+        (vis & buffers.draw_opaque_mask).astype(jnp.int32))
+
+    z = jnp.full((hp, wp), raster.DEPTH_CLEAR, jnp.float32)
+
+    if to > 0:
+        setup = vertex.triangle_setup(
+            buffers.positions, buffers.normals, buffers.colors, buffers.uvs,
+            buffers.opaque_tri_vidx, buffers.opaque_tri_draw,
+            buffers.opaque_tri_valid, buffers.draw_model, vis,
+            buffers.draw_mat, buffers.mat_color_factors, viewproj,
+            width, height,
+        )
+        caabb, cvalid = raster.chunk_aabbs(setup.aabb, setup.valid)
+        bins, counts, overflow = raster.bin_triangles(
+            caabb, cvalid, tiles_x=tiles_x, tiles_y=tiles_y,
+            tile_w=tile_w, tile_h=tile_h, entry_cap=entry_cap, bin_cap=bin_cap)
+        z, tid = raster.rasterize(
+            setup.packed, setup.aabb, bins, counts,
+            tiles_x=tiles_x, tiles_y=tiles_y, tile_w=tile_w, tile_h=tile_h)
+        fb = q(shade.shade(
+            tid, setup.packed, setup.attrs, buffers.mat_tex,
+            buffers.mat_filter, buffers.atlas, params.ambient[:3],
+            params.sun_dir[:3], params.sun_color[3], fb))
+        aux["bin_overflow"] = overflow
+        aux["opaque_triangles"] = jnp.sum(
+            (setup.valid).astype(jnp.int32))
+
+    # --- transparent pass: additive, depth-test-only, via depth peeling ------
+    if tt > 0:
+        setup_t = vertex.triangle_setup(
+            buffers.positions, buffers.normals, buffers.colors, buffers.uvs,
+            buffers.transp_tri_vidx, buffers.transp_tri_draw,
+            buffers.transp_tri_valid, buffers.draw_model, all_vis,
+            buffers.draw_mat, buffers.mat_color_factors, viewproj,
+            width, height,
+        )
+        caabb_t, cvalid_t = raster.chunk_aabbs(setup_t.aabb, setup_t.valid)
+        bins_t, counts_t, overflow_t = raster.bin_triangles(
+            caabb_t, cvalid_t, tiles_x=tiles_x, tiles_y=tiles_y,
+            tile_w=tile_w, tile_h=tile_h, entry_cap=entry_cap, bin_cap=bin_cap)
+        last = jnp.full((hp, wp), -1, jnp.int32)
+        layers_found = jnp.zeros((), jnp.int32)
+        for _ in range(peels):
+            layer = raster.rasterize_peel(
+                setup_t.packed, setup_t.aabb, bins_t, counts_t, z, last,
+                tiles_x=tiles_x, tiles_y=tiles_y, tile_w=tile_w, tile_h=tile_h)
+            found = layer < raster.ID_INF
+            tid_layer = jnp.where(found, layer, -1)
+            fb = q(shade.blend_layer(
+                fb, tid_layer, setup_t.packed, setup_t.attrs,
+                buffers.mat_tex, buffers.mat_filter, buffers.atlas,
+                params.ambient[:3], params.sun_dir[:3], params.sun_color[3]))
+            last = jnp.where(found, layer, raster.ID_INF)
+            layers_found += found.any().astype(jnp.int32)
+        aux["bin_overflow_transparent"] = overflow_t
+        aux["transparent_layers"] = layers_found
+
+    image = to_u8_image(fb, width=width, height=height)
+    return image, aux
