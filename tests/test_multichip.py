@@ -1,0 +1,61 @@
+"""Multi-chip sharding: the ('rows', 'tri') mesh render must be pixel-exact
+vs the single-chip pipeline (8 virtual CPU devices).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_renderer import milestones
+from tpu_renderer.parallel.multichip import make_mesh, render_frame_multichip
+from tpu_renderer.pipeline import FrameParams, render_frame
+from tpu_renderer.scene import flatten_scene
+
+W, H = 128, 64
+I4 = jnp.eye(4, dtype=jnp.float32)
+
+
+def _params(**kw):
+    d = dict(view=I4, proj=I4, bg_effect=jnp.int32(0),
+             bg_data1=jnp.asarray([0.2, 0.3, 0.4, 1.0], jnp.float32),
+             bg_data2=jnp.asarray([0.8, 0.7, 0.6, 1.0], jnp.float32),
+             ambient=jnp.zeros(4, jnp.float32),
+             sun_dir=jnp.asarray([0, 0, 1, 1], jnp.float32),
+             sun_color=jnp.ones(4, jnp.float32))
+    d.update(kw)
+    return FrameParams(**d)
+
+
+@pytest.mark.parametrize("rows,tri", [(2, 1), (1, 2), (2, 4)])
+def test_multichip_matches_single_chip(rows, tri):
+    if len(jax.devices()) < rows * tri:
+        pytest.skip("not enough devices")
+    scene = milestones.colored_quad_scene(z0=0.4, z1=0.7)
+    flat = flatten_scene(scene)
+    params = _params()
+    single, _ = render_frame(flat.buffers, params, width=W, height=H,
+                             entry_cap=4096, bin_cap=128, peels=2)
+    mesh = make_mesh(rows, tri)
+    multi = render_frame_multichip(flat.buffers, params, mesh=mesh,
+                                   width=W, height=H,
+                                   entry_cap=4096, bin_cap=128, peels=2)
+    np.testing.assert_array_equal(np.asarray(multi), np.asarray(single))
+
+
+def test_multichip_transparent():
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough devices")
+    scene = milestones.colored_quad_scene(z0=0.5, z1=0.5)
+    scene.materials[-1].transparent = True
+    scene.colors = np.tile(np.array([0.25, 0.5, 0.125, 1], np.float32), (4, 1))
+    flat = flatten_scene(scene)
+    params = _params(bg_data1=jnp.asarray([0.5, 0.25, 0.5, 1.0], jnp.float32),
+                     bg_data2=jnp.asarray([0.5, 0.25, 0.5, 1.0], jnp.float32))
+    single, _ = render_frame(flat.buffers, params, width=W, height=H,
+                             entry_cap=4096, bin_cap=128, peels=2)
+    mesh = make_mesh(2, 2)
+    multi = render_frame_multichip(flat.buffers, params, mesh=mesh,
+                                   width=W, height=H,
+                                   entry_cap=4096, bin_cap=128, peels=2)
+    np.testing.assert_array_equal(np.asarray(multi), np.asarray(single))

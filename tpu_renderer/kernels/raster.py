@@ -167,7 +167,11 @@ def _raster_kernel(counts_ref, bins_ref, packed_ref, aabb_ref, z_ref, tid_ref,
 
     # This tile's chunk list: HBM -> SMEM (scalar reads need SMEM; a VMEM
     # row would need dynamic lane indexing, which Mosaic does not lower).
-    copy = pltpu.make_async_copy(bins_ref.at[tile], bin_smem, bin_sem)
+    # bins are flattened 1D so the slice is 128-aligned for any tile.
+    bin_cap = bin_smem.shape[0]
+    copy = pltpu.make_async_copy(
+        bins_ref.at[pl.ds(pl.multiple_of(tile * bin_cap, 1024), bin_cap)],
+        bin_smem, bin_sem)
     copy.start()
     copy.wait()
 
@@ -248,8 +252,8 @@ def rasterize(packed, aabb, bins, counts, *, tiles_x: int, tiles_y: int,
     assert T % CHUNK == 0
     n_tiles, bin_cap = bins.shape
     assert n_tiles == tiles_x * tiles_y
-    # The per-tile bin-row DMA requires a 128-aligned slice width.
-    bin_cap_pad = cdiv(bin_cap, 128) * 128
+    # The per-tile bin-row DMA slices a 1D HBM array tiled at 1024 elements.
+    bin_cap_pad = cdiv(bin_cap, 1024) * 1024
     if bin_cap_pad != bin_cap:
         bins = jnp.pad(bins, ((0, 0), (0, bin_cap_pad - bin_cap)), constant_values=NO_TRI)
         bin_cap = bin_cap_pad
@@ -280,7 +284,7 @@ def rasterize(packed, aabb, bins, counts, *, tiles_x: int, tiles_y: int,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=use_interpret(),
-    )(counts.reshape(n_tiles, 1), bins, packed, aabb)
+    )(counts.reshape(n_tiles, 1), bins.reshape(-1), packed, aabb)
     return z, tid
 
 
@@ -299,7 +303,10 @@ def _peel_kernel(counts_ref, bins_ref, packed_ref, aabb_ref, zbase_ref,
     tile = i * tiles_x + j
     n = counts_ref[tile, 0]
 
-    copy = pltpu.make_async_copy(bins_ref.at[tile], bin_smem, bin_sem)
+    bin_cap = bin_smem.shape[0]
+    copy = pltpu.make_async_copy(
+        bins_ref.at[pl.ds(pl.multiple_of(tile * bin_cap, 1024), bin_cap)],
+        bin_smem, bin_sem)
     copy.start()
     copy.wait()
 
@@ -365,7 +372,7 @@ def rasterize_peel(packed, aabb, bins, counts, z_base, last_id, *,
     T = packed.shape[0]
     assert T % CHUNK == 0
     n_tiles, bin_cap = bins.shape
-    bin_cap_pad = cdiv(bin_cap, 128) * 128
+    bin_cap_pad = cdiv(bin_cap, 1024) * 1024
     if bin_cap_pad != bin_cap:
         bins = jnp.pad(bins, ((0, 0), (0, bin_cap_pad - bin_cap)), constant_values=NO_TRI)
         bin_cap = bin_cap_pad
@@ -391,7 +398,7 @@ def rasterize_peel(packed, aabb, bins, counts, z_base, last_id, *,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=use_interpret(),
-    )(counts.reshape(n_tiles, 1), bins, packed, aabb, z_base, last_id)
+    )(counts.reshape(n_tiles, 1), bins.reshape(-1), packed, aabb, z_base, last_id)
 
 
 # ---------------------------------------------------------------------------

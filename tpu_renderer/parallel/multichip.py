@@ -1,0 +1,212 @@
+"""Multi-chip rendering: SPMD over a ('rows', 'tri') device mesh.
+
+Decomposition (sort-last + image-space hybrid — the renderer analog of
+dp x tp):
+
+* **rows** (image parallel): the framebuffer is split into horizontal bands
+  of tiles; each device rasterizes + shades only its band. No communication
+  — pixels are independent (the fragment-level parallelism a GPU gets from
+  its SIMT rasterizer, here across chips).
+* **tri** (triangle parallel, sort-last): the triangle set is sharded in
+  chunk units; each device rasterizes its subset against its band, then the
+  visibility buffers composite with two ``pmax`` collectives over the 'tri'
+  axis (max depth, then max tri-id among depth ties — preserving the
+  GREATER_OR_EQUAL later-wins rule). The additive transparent pass
+  composites with a single ``psum`` (order-independent sum).
+
+Band-local rasterization reuses the single-chip Pallas kernels unchanged:
+a screen-space y translation is folded into the edge/depth plane constant
+coefficients (e(X, Y+y0) = A·X + B·Y + (C + B·y0)), so each band rasters in
+local coordinates.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from tpu_renderer.kernels import background as bg
+from tpu_renderer.kernels import raster, shade, vertex
+from tpu_renderer.kernels.common import pad_extent
+from tpu_renderer.pipeline import FrameParams, SceneBuffers
+from tpu_renderer.present import to_u8_image
+
+
+def make_mesh(n_rows: int, n_tri: int = 1, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    assert len(devices) >= n_rows * n_tri, (
+        f"need {n_rows * n_tri} devices, have {len(devices)}")
+    devs = np.asarray(devices[: n_rows * n_tri]).reshape(n_rows, n_tri)
+    return Mesh(devs, axis_names=("rows", "tri"))
+
+
+def _shift_rows_y(packed, y0):
+    """Rebase edge/depth planes to band-local y: C += B * y0."""
+    b_cols = packed[:, [1, 4, 7, 10]]
+    shifted = packed.at[:, 2].add(b_cols[:, 0] * y0)
+    shifted = shifted.at[:, 5].add(b_cols[:, 1] * y0)
+    shifted = shifted.at[:, 8].add(b_cols[:, 2] * y0)
+    shifted = shifted.at[:, 11].add(b_cols[:, 3] * y0)
+    return shifted
+
+
+def _shift_aabb_y(aabb, y0):
+    return aabb.at[:, 1].add(-y0).at[:, 3].add(-y0)
+
+
+def _background_band(params, y0, band_h: int, wp: int, height: int):
+    """jnp backgrounds with a global row offset (band-local evaluation)."""
+    yy = (jnp.arange(band_h, dtype=jnp.float32)[:, None] + y0)
+    yy = jnp.broadcast_to(yy, (band_h, wp))
+    xx = jnp.broadcast_to(jnp.arange(wp, dtype=jnp.float32)[None, :], (band_h, wp))
+
+    def grad(_):
+        blend = yy / jnp.float32(height)
+        d1 = params.bg_data1
+        d2 = params.bg_data2
+        return d1[:, None, None] * (1 - blend)[None] + d2[:, None, None] * blend[None]
+
+    def sky(_):
+        d = params.bg_data1
+        cr, cg, cb = bg._sky_math(xx, yy, (d[0], d[1], d[2], d[3]), height)
+        return jnp.stack([cr, cg, cb, jnp.ones_like(cr)])
+
+    return jax.lax.switch(jnp.clip(params.bg_effect, 0, 1), [grad, sky], 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "width", "height", "tile_h", "tile_w",
+                     "entry_cap", "bin_cap", "peels", "fp16"),
+)
+def render_frame_multichip(buffers: SceneBuffers, params: FrameParams, *,
+                           mesh: Mesh, width: int, height: int,
+                           tile_h: int = 32, tile_w: int = 128,
+                           entry_cap: int = 1 << 14, bin_cap: int = 256,
+                           peels: int = 2, fp16: bool = True):
+    """Sharded frame: scene replicated, framebuffer sharded over 'rows',
+    triangles sharded over 'tri'. Returns the (H, W, 4) uint8 image."""
+    n_rows = mesh.shape["rows"]
+    n_tri = mesh.shape["tri"]
+    wp, hp = pad_extent(width, height, tile_h, tile_w * 1)
+    # band height must be a tile multiple per device
+    hp = -(-hp // (tile_h * n_rows)) * (tile_h * n_rows)
+    band_h = hp // n_rows
+    tiles_x = wp // tile_w
+    tiles_y_band = band_h // tile_h
+
+    to = buffers.opaque_tri_vidx.shape[0]
+    tt = buffers.transp_tri_vidx.shape[0]
+    # shard triangle arrays over 'tri' in chunk units
+    def pad_to(n, m):
+        return -(-n // m) * m
+
+    def shard_tris(vidx, draw, valid):
+        T = vidx.shape[0]
+        tp = pad_to(max(T, 1), raster.CHUNK * n_tri)
+        vidx = jnp.pad(vidx, ((0, tp - T), (0, 0)))
+        draw = jnp.pad(draw, ((0, tp - T),), constant_values=-1)
+        valid = jnp.pad(valid, ((0, tp - T),))
+        return vidx, draw, valid
+
+    ov, od, oval = shard_tris(buffers.opaque_tri_vidx, buffers.opaque_tri_draw,
+                              buffers.opaque_tri_valid)
+    tv, td, tval = shard_tris(buffers.transp_tri_vidx, buffers.transp_tri_draw,
+                              buffers.transp_tri_valid)
+
+    def q(x):
+        return x.astype(jnp.float16).astype(jnp.float32) if fp16 else x
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(), P("tri"), P("tri"), P("tri"),
+                  P("tri"), P("tri"), P("tri")),
+        out_specs=P(None, "rows", None),
+        check_vma=False,
+    )
+    def band_render(buffers, params, ov, od, oval, tv, td, tval):
+        row = jax.lax.axis_index("rows")
+        tri_idx = jax.lax.axis_index("tri")
+        y0 = (row * band_h).astype(jnp.float32)
+
+        viewproj = (params.proj @ params.view).astype(jnp.float32)
+        fb = q(_background_band(params, y0, band_h, wp, height))
+
+        vis = vertex.draw_visibility(viewproj, buffers.draw_model,
+                                     buffers.draw_bounds_origin,
+                                     buffers.draw_bounds_extents)
+
+        def raster_set(vidx, draw, valid, visible):
+            setup = vertex.triangle_setup(
+                buffers.positions, buffers.normals, buffers.colors,
+                buffers.uvs, vidx, draw, valid, buffers.draw_model, visible,
+                buffers.draw_mat, buffers.mat_color_factors, viewproj,
+                width, height)
+            packed_l = _shift_rows_y(setup.packed, y0)
+            aabb_l = _shift_aabb_y(setup.aabb, y0)
+            caabb, cvalid = raster.chunk_aabbs(aabb_l, setup.valid)
+            bins, counts, _ = raster.bin_triangles(
+                caabb, cvalid, tiles_x=tiles_x, tiles_y=tiles_y_band,
+                tile_w=tile_w, tile_h=tile_h, entry_cap=entry_cap,
+                bin_cap=bin_cap)
+            return setup, packed_l, aabb_l, bins, counts
+
+        # opaque: local raster + sort-last composite over 'tri'
+        setup, packed_l, aabb_l, bins, counts = raster_set(ov, od, oval, vis)
+        z, tid_local = raster.rasterize(
+            packed_l, aabb_l, bins, counts, tiles_x=tiles_x,
+            tiles_y=tiles_y_band, tile_w=tile_w, tile_h=tile_h)
+        # local ids -> global ids (chunk-sharded: global = local + shard0)
+        t_shard = ov.shape[0]
+        tid = jnp.where(tid_local >= 0, tid_local + tri_idx * t_shard, -1)
+        zmax = jax.lax.pmax(z, "tri")
+        tid = jnp.where(z == zmax, tid, -1)
+        tid = jax.lax.pmax(tid, "tri")
+        z = zmax
+
+        # deferred shade needs the winning triangle's setup row: rows live on
+        # the owning 'tri' shard; all_gather the (small) setup tables.
+        packed_all = jax.lax.all_gather(packed_l, "tri", axis=0, tiled=True)
+        attrs_all = jax.lax.all_gather(setup.attrs, "tri", axis=0, tiled=True)
+        fb = q(shade.shade(tid, packed_all, attrs_all, buffers.mat_tex,
+                           buffers.mat_filter, buffers.atlas,
+                           params.ambient[:3], params.sun_dir[:3],
+                           params.sun_color[3], fb))
+
+        # transparent: additive => psum partial contributions over 'tri'
+        if tt > 0:
+            all_vis = jnp.ones_like(vis)
+            setup_t, packed_tl, aabb_tl, bins_t, counts_t = raster_set(
+                tv, td, tval, all_vis)
+            delta = jnp.zeros_like(fb[:3])
+            last = jnp.full(z.shape, -1, jnp.int32)
+            for _ in range(peels):
+                layer = raster.rasterize_peel(
+                    packed_tl, aabb_tl, bins_t, counts_t, z, last,
+                    tiles_x=tiles_x, tiles_y=tiles_y_band,
+                    tile_w=tile_w, tile_h=tile_h)
+                found = layer < raster.ID_INF
+                tl_layer = jnp.where(found, layer, 0)
+                src = shade.shade_core(
+                    tl_layer, packed_tl, setup_t.attrs, buffers.mat_tex,
+                    buffers.mat_filter, buffers.atlas, params.ambient[:3],
+                    params.sun_dir[:3], params.sun_color[3])
+                src = jnp.where(found[None], jnp.moveaxis(src, -1, 0), 0.0)
+                delta = delta + src
+                last = jnp.where(found, layer, raster.ID_INF)
+            delta = jax.lax.psum(delta, "tri")
+            any_t = delta.sum(0) > 0
+            rgb = jnp.where(any_t[None], q(delta + fb[:3] * fb[3][None]), fb[:3])
+            alpha = jnp.where(any_t, 1.0, fb[3])
+            fb = jnp.concatenate([rgb, alpha[None]], axis=0)
+
+        return fb
+
+    fb = band_render(buffers, params, ov, od, oval, tv, td, tval)
+    return to_u8_image(fb, width=width, height=height)
