@@ -50,10 +50,10 @@ def setup_from_screen(tris, zs):
 
 def run_full(setup):
     packed, aabb, _ = raster.pad_for_raster(setup.packed, setup.aabb, setup.valid)
-    n_chunks = packed.shape[0] // raster.CHUNK
-    bins, counts = raster.full_bins(n_chunks, TILES_X * TILES_Y, n_chunks)
+    T = packed.shape[0]
+    bins, counts = raster.full_bins(T, TILES_X * TILES_Y, T)
     return raster.rasterize(
-        packed, aabb, bins, counts,
+        packed, bins, counts,
         tiles_x=TILES_X, tiles_y=TILES_Y, tile_w=TILE_W, tile_h=TILE_H,
     )
 
@@ -135,15 +135,21 @@ def test_binned_matches_full():
     setup = setup_from_screen(tris, zs)
     z_full, tid_full = run_full(setup)
     packed, aabb, valid = raster.pad_for_raster(setup.packed, setup.aabb, setup.valid)
-    caabb, _ = raster.chunk_aabbs(aabb, valid)
-    bins, counts, overflow = raster.bin_triangles(
-        caabb, jnp.ones((caabb.shape[0],), bool),
+    caabb, cvalid = raster.chunk_aabbs(aabb, valid)
+    cbins, _, overflow = raster.bin_triangles(
+        caabb, cvalid,
         tiles_x=TILES_X, tiles_y=TILES_Y, tile_w=TILE_W, tile_h=TILE_H,
         entry_cap=64, bin_cap=16,
     )
     assert int(overflow) == 0
+    bins, counts, overflow2 = raster.refine_bins(
+        cbins, aabb, tiles_x=TILES_X, tiles_y=TILES_Y, tile_w=TILE_W,
+        tile_h=TILE_H, tri_cap=32)
+    assert int(overflow2) == 0
+    # refined bins are tight: no tile sees more than the real triangles
+    assert int(counts.max()) <= T
     z_b, tid_b = raster.rasterize(
-        packed, aabb, bins, counts,
+        packed, bins, counts,
         tiles_x=TILES_X, tiles_y=TILES_Y, tile_w=TILE_W, tile_h=TILE_H,
     )
     np.testing.assert_array_equal(np.asarray(tid_b), np.asarray(tid_full))

@@ -153,21 +153,84 @@ def full_bins(n_chunks: int, n_tiles: int, bin_cap: int):
     return bins, counts
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("tiles_x", "tiles_y", "tile_w", "tile_h", "tri_cap"),
+)
+def refine_bins(chunk_bins, aabb, *, tiles_x: int, tiles_y: int,
+                tile_w: int, tile_h: int, tri_cap: int):
+    """Chunk bins -> tight per-TRIANGLE bins, entirely in XLA (no sort).
+
+    For every (tile, binned chunk) pair, test the 64 member triangles'
+    AABBs against the tile's pixel-center bounds, then compact each tile's
+    hits with a cumsum + searchsorted gather. Dead/culled triangles have
+    empty AABBs and drop out here, so the raster loop sees only real work.
+
+    Returns (tri_bins (n_tiles, tri_cap) i32, tri_counts (n_tiles,) i32,
+             overflow () i32).
+    """
+    n_tiles, bcap = chunk_bins.shape
+    T = aabb.shape[0]
+
+    tri = jnp.where(chunk_bins >= 0, chunk_bins, 0)[:, :, None] * CHUNK \
+        + jnp.arange(CHUNK, dtype=jnp.int32)[None, None, :]
+    tri = tri.reshape(n_tiles, bcap * CHUNK)
+    slot_ok = jnp.repeat(chunk_bins >= 0, CHUNK, axis=1)
+
+    a = aabb[jnp.clip(tri, 0, T - 1)]                      # (n_tiles, bcap*64, 4)
+    tile_id = jnp.arange(n_tiles, dtype=jnp.int32)
+    tx = (tile_id % tiles_x).astype(jnp.float32)
+    ty = (tile_id // tiles_x).astype(jnp.float32)
+    x0c = (tx * tile_w + 0.5)[:, None]
+    y0c = (ty * tile_h + 0.5)[:, None]
+    x1c = x0c + (tile_w - 1)
+    y1c = y0c + (tile_h - 1)
+    hit = (slot_ok
+           & (a[..., 0] <= x1c) & (a[..., 2] >= x0c)
+           & (a[..., 1] <= y1c) & (a[..., 3] >= y0c))
+
+    csum = jnp.cumsum(hit.astype(jnp.int32), axis=1)       # (n_tiles, bcap*64)
+    full_counts = csum[:, -1]
+    counts = jnp.minimum(full_counts, tri_cap)
+
+    want = jnp.arange(1, tri_cap + 1, dtype=jnp.int32)
+    pos = jax.vmap(lambda c: jnp.searchsorted(c, want, side="left"))(csum)
+    pos = jnp.clip(pos, 0, bcap * CHUNK - 1).astype(jnp.int32)
+    ids = jnp.take_along_axis(tri, pos, axis=1)
+    in_bin = jnp.arange(tri_cap, dtype=jnp.int32)[None, :] < counts[:, None]
+    tri_bins = jnp.where(in_bin, ids, NO_TRI)
+    overflow = jnp.sum(full_counts - counts)
+    return tri_bins, counts, overflow
+
+
 # ---------------------------------------------------------------------------
 # Pallas visibility raster
 # ---------------------------------------------------------------------------
 
 
-def _raster_kernel(counts_ref, bins_ref, packed_ref, aabb_ref, z_ref, tid_ref,
-                   bin_smem, bin_sem, *, tiles_x: int, tile_h: int, tile_w: int):
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    tile = i * tiles_x + j
-    n = counts_ref[tile, 0]
+def _tile_coords(i, j, tile_h: int, tile_w: int):
+    """Pixel centers (Vulkan: +0.5) in global screen coordinates."""
+    yy = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0) + i * tile_h
+    xx = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1) + j * tile_w
+    X = xx.astype(jnp.float32) + jnp.float32(0.5)
+    Y = yy.astype(jnp.float32) + jnp.float32(0.5)
+    return X, Y
 
-    # This tile's chunk list: HBM -> SMEM (scalar reads need SMEM; a VMEM
-    # row would need dynamic lane indexing, which Mosaic does not lower).
-    # bins are flattened 1D so the slice is 128-aligned for any tile.
+
+def _edge_cov(a, b, c, X, Y):
+    val = a * X + b * Y + c
+    # Top-left fill rule: a zero edge value counts as covered iff the
+    # interior lies in +x (left edge) or, for horizontal edges, below
+    # (top edge). Adjacent triangles compute exactly negated coefficients
+    # on a shared edge, so every boundary pixel is covered exactly once.
+    tl = (a > 0.0) | ((a == 0.0) & (b > 0.0))
+    return (val > 0.0) | ((val == 0.0) & tl)
+
+
+def _fetch_bins(bins_ref, bin_smem, bin_sem, tile):
+    """This tile's triangle list: HBM -> SMEM (scalar reads need SMEM; a
+    VMEM row would need dynamic lane indexing, which Mosaic does not
+    lower). bins are flattened 1D so every tile's slice is 1024-aligned."""
     bin_cap = bin_smem.shape[0]
     copy = pltpu.make_async_copy(
         bins_ref.at[pl.ds(pl.multiple_of(tile * bin_cap, 1024), bin_cap)],
@@ -175,59 +238,35 @@ def _raster_kernel(counts_ref, bins_ref, packed_ref, aabb_ref, z_ref, tid_ref,
     copy.start()
     copy.wait()
 
-    # Pixel centers (Vulkan: +0.5) in global screen coordinates.
-    yy = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0) + i * tile_h
-    xx = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1) + j * tile_w
-    X = xx.astype(jnp.float32) + jnp.float32(0.5)
-    Y = yy.astype(jnp.float32) + jnp.float32(0.5)
-    # Tile pixel-center bounds for the scalar AABB pretest.
-    x0c = (j * tile_w).astype(jnp.float32) + 0.5
-    y0c = (i * tile_h).astype(jnp.float32) + 0.5
-    x1c = x0c + jnp.float32(tile_w - 1)
-    y1c = y0c + jnp.float32(tile_h - 1)
 
-    def edge(a, b, c):
-        val = a * X + b * Y + c
-        # Top-left fill rule: a zero edge value counts as covered iff the
-        # interior lies in +x (left edge) or, for horizontal edges, below
-        # (top edge). Adjacent triangles compute exactly negated coefficients
-        # on a shared edge, so every boundary pixel is covered exactly once.
-        tl = (a > 0.0) | ((a == 0.0) & (b > 0.0))
-        return (val > 0.0) | ((val == 0.0) & tl)
+def _raster_kernel(counts_ref, bins_ref, packed_ref, z_ref, tid_ref,
+                   bin_smem, bin_sem, *, tiles_x: int, tile_h: int, tile_w: int):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    tile = i * tiles_x + j
+    n = counts_ref[tile, 0]
+    _fetch_bins(bins_ref, bin_smem, bin_sem, tile)
+    X, Y = _tile_coords(i, j, tile_h, tile_w)
 
-    def chunk_body(kk, carry):
-        cid = bin_smem[kk]
-        base = cid * CHUNK
-
-        def tri_body(t, carry2):
-            z, tid = carry2
-            idx = base + t
-            hit = (
-                (aabb_ref[idx, 0] <= x1c) & (aabb_ref[idx, 2] >= x0c)
-                & (aabb_ref[idx, 1] <= y1c) & (aabb_ref[idx, 3] >= y0c)
-            )
-
-            def do(c):
-                z, tid = c
-                r = lambda col: packed_ref[idx, col]  # noqa: E731
-                cov = (edge(r(0), r(1), r(2)) & edge(r(3), r(4), r(5))
-                       & edge(r(6), r(7), r(8)))
-                zv = r(9) * X + r(10) * Y + r(11)
-                # Near/far "clip": z outside [0,1] rejected per pixel (exact
-                # equivalent of clip z in [0, w] for the w>0 half-space).
-                cov &= (zv >= 0.0) & (zv <= 1.0)
-                # Reversed-Z GREATER_OR_EQUAL; ties resolve to the later
-                # triangle (loops run in submission order).
-                take = cov & (zv >= z)
-                return jnp.where(take, zv, z), jnp.where(take, idx, tid)
-
-            return jax.lax.cond(hit, do, lambda c: c, (z, tid))
-
-        return jax.lax.fori_loop(0, CHUNK, tri_body, carry)
+    def tri_body(k, carry):
+        z, tid = carry
+        idx = bin_smem[k]
+        r = lambda col: packed_ref[idx, col]  # noqa: E731
+        cov = (_edge_cov(r(0), r(1), r(2), X, Y)
+               & _edge_cov(r(3), r(4), r(5), X, Y)
+               & _edge_cov(r(6), r(7), r(8), X, Y))
+        zv = r(9) * X + r(10) * Y + r(11)
+        # Near/far "clip": z outside [0,1] rejected per pixel (exact
+        # equivalent of clip z in [0, w] for the w>0 half-space).
+        cov &= (zv >= 0.0) & (zv <= 1.0)
+        # Reversed-Z GREATER_OR_EQUAL (vk_engine.cpp:1659); ties resolve to
+        # the later triangle (bins are in submission order).
+        take = cov & (zv >= z)
+        return jnp.where(take, zv, z), jnp.where(take, idx, tid)
 
     z0 = jnp.full((tile_h, tile_w), DEPTH_CLEAR, jnp.float32)
     tid0 = jnp.full((tile_h, tile_w), NO_TRI, jnp.int32)
-    z1, tid1 = jax.lax.fori_loop(0, n, chunk_body, (z0, tid0))
+    z1, tid1 = jax.lax.fori_loop(0, n, tri_body, (z0, tid0))
     z_ref[:, :] = z1
     tid_ref[:, :] = tid1
 
@@ -236,13 +275,13 @@ def _raster_kernel(counts_ref, bins_ref, packed_ref, aabb_ref, z_ref, tid_ref,
     jax.jit,
     static_argnames=("tiles_x", "tiles_y", "tile_w", "tile_h"),
 )
-def rasterize(packed, aabb, bins, counts, *, tiles_x: int, tiles_y: int,
+def rasterize(packed, bins, counts, *, tiles_x: int, tiles_y: int,
               tile_w: int, tile_h: int):
     """Visibility raster over the padded framebuffer.
 
     packed: (T, 16) f32 setup rows (kernels/vertex.py layout), T % 64 == 0
-    aabb:   (T, 4) f32 per-triangle screen AABBs (empty for dead triangles)
-    bins:   (n_tiles, bin_cap) i32 chunk ids, counts: (n_tiles,) i32
+    bins:   (n_tiles, bin_cap) i32 per-TRIANGLE ids (refine_bins output),
+            counts: (n_tiles,) i32
     Returns (z (Hp, Wp) f32, tri_id (Hp, Wp) i32).
 
     The setup table is held in VMEM for the whole pass: T is limited to
@@ -273,7 +312,6 @@ def rasterize(packed, aabb, bins, counts, *, tiles_x: int, tiles_y: int,
             pl.BlockSpec((n_tiles, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),  # bins stay in HBM; DMA'd per tile
             pl.BlockSpec((T, 16), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, 4), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM),
@@ -284,7 +322,7 @@ def rasterize(packed, aabb, bins, counts, *, tiles_x: int, tiles_y: int,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=use_interpret(),
-    )(counts.reshape(n_tiles, 1), bins.reshape(-1), packed, aabb)
+    )(counts.reshape(n_tiles, 1), bins.reshape(-1), packed)
     return z, tid
 
 
@@ -295,78 +333,47 @@ def rasterize(packed, aabb, bins, counts, *, tiles_x: int, tiles_y: int,
 ID_INF = 0x7FFFFFF  # "no fragment" marker (> any triangle id)
 
 
-def _peel_kernel(counts_ref, bins_ref, packed_ref, aabb_ref, zbase_ref,
+def _peel_kernel(counts_ref, bins_ref, packed_ref, zbase_ref,
                  last_ref, out_ref, bin_smem, bin_sem, *,
                  tiles_x: int, tile_h: int, tile_w: int):
     i = pl.program_id(0)
     j = pl.program_id(1)
     tile = i * tiles_x + j
     n = counts_ref[tile, 0]
-
-    bin_cap = bin_smem.shape[0]
-    copy = pltpu.make_async_copy(
-        bins_ref.at[pl.ds(pl.multiple_of(tile * bin_cap, 1024), bin_cap)],
-        bin_smem, bin_sem)
-    copy.start()
-    copy.wait()
-
-    yy = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0) + i * tile_h
-    xx = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1) + j * tile_w
-    X = xx.astype(jnp.float32) + jnp.float32(0.5)
-    Y = yy.astype(jnp.float32) + jnp.float32(0.5)
-    x0c = (j * tile_w).astype(jnp.float32) + 0.5
-    y0c = (i * tile_h).astype(jnp.float32) + 0.5
-    x1c = x0c + jnp.float32(tile_w - 1)
-    y1c = y0c + jnp.float32(tile_h - 1)
+    _fetch_bins(bins_ref, bin_smem, bin_sem, tile)
+    X, Y = _tile_coords(i, j, tile_h, tile_w)
 
     zbase = zbase_ref[:, :]
     last = last_ref[:, :]
 
-    def edge(a, b, c):
-        val = a * X + b * Y + c
-        tl = (a > 0.0) | ((a == 0.0) & (b > 0.0))
-        return (val > 0.0) | ((val == 0.0) & tl)
-
-    def chunk_body(kk, best):
-        cid = bin_smem[kk]
-        base = cid * CHUNK
-
-        def tri_body(t, best2):
-            idx = base + t
-            hit = (
-                (aabb_ref[idx, 0] <= x1c) & (aabb_ref[idx, 2] >= x0c)
-                & (aabb_ref[idx, 1] <= y1c) & (aabb_ref[idx, 3] >= y0c)
-            )
-
-            def do(b):
-                r = lambda col: packed_ref[idx, col]  # noqa: E731
-                cov = (edge(r(0), r(1), r(2)) & edge(r(3), r(4), r(5))
-                       & edge(r(6), r(7), r(8)))
-                zv = r(9) * X + r(10) * Y + r(11)
-                cov &= (zv >= 0.0) & (zv <= 1.0)
-                # depth test GREATER_OR_EQUAL vs the opaque z buffer, depth
-                # write OFF (vk_engine.cpp:1673-1676); peel: smallest id
-                # greater than the last emitted layer.
-                take = cov & (zv >= zbase) & (idx > last) & (idx < b)
-                return jnp.where(take, idx, b)
-
-            return jax.lax.cond(hit, do, lambda b: b, best2)
-
-        return jax.lax.fori_loop(0, CHUNK, tri_body, best)
+    def tri_body(k, best):
+        idx = bin_smem[k]
+        r = lambda col: packed_ref[idx, col]  # noqa: E731
+        cov = (_edge_cov(r(0), r(1), r(2), X, Y)
+               & _edge_cov(r(3), r(4), r(5), X, Y)
+               & _edge_cov(r(6), r(7), r(8), X, Y))
+        zv = r(9) * X + r(10) * Y + r(11)
+        cov &= (zv >= 0.0) & (zv <= 1.0)
+        # depth test GREATER_OR_EQUAL vs the opaque z buffer, depth write
+        # OFF (vk_engine.cpp:1673-1676); peel: smallest id greater than the
+        # last emitted layer.
+        take = cov & (zv >= zbase) & (idx > last) & (idx < best)
+        return jnp.where(take, idx, best)
 
     best0 = jnp.full((tile_h, tile_w), ID_INF, jnp.int32)
-    out_ref[:, :] = jax.lax.fori_loop(0, n, chunk_body, best0)
+    out_ref[:, :] = jax.lax.fori_loop(0, n, tri_body, best0)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("tiles_x", "tiles_y", "tile_w", "tile_h"),
 )
-def rasterize_peel(packed, aabb, bins, counts, z_base, last_id, *,
+def rasterize_peel(packed, bins, counts, z_base, last_id, *,
                    tiles_x: int, tiles_y: int, tile_w: int, tile_h: int):
     """One transparency peel: per pixel, the smallest triangle id > last_id
     that covers the pixel and passes the depth test against z_base.
 
+    bins: per-TRIANGLE ids (refine_bins output).
     Returns (Hp, Wp) i32 with ID_INF where no fragment was found.
     """
     T = packed.shape[0]
@@ -388,7 +395,6 @@ def rasterize_peel(packed, aabb, bins, counts, z_base, last_id, *,
             pl.BlockSpec((n_tiles, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec((T, 16), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, 4), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM),
         ],
@@ -398,7 +404,7 @@ def rasterize_peel(packed, aabb, bins, counts, z_base, last_id, *,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=use_interpret(),
-    )(counts.reshape(n_tiles, 1), bins.reshape(-1), packed, aabb, z_base, last_id)
+    )(counts.reshape(n_tiles, 1), bins.reshape(-1), packed, z_base, last_id)
 
 
 # ---------------------------------------------------------------------------

@@ -83,13 +83,13 @@ def _background_band(params, y0, band_h: int, wp: int, height: int):
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "width", "height", "tile_h", "tile_w",
-                     "entry_cap", "bin_cap", "peels", "fp16"),
+                     "entry_cap", "bin_cap", "tri_cap", "peels", "fp16"),
 )
 def render_frame_multichip(buffers: SceneBuffers, params: FrameParams, *,
                            mesh: Mesh, width: int, height: int,
                            tile_h: int = 32, tile_w: int = 128,
                            entry_cap: int = 1 << 14, bin_cap: int = 256,
-                           peels: int = 2, fp16: bool = True):
+                           tri_cap: int = 1024, peels: int = 2, fp16: bool = True):
     """Sharded frame: scene replicated, framebuffer sharded over 'rows',
     triangles sharded over 'tri'. Returns the (H, W, 4) uint8 image."""
     n_rows = mesh.shape["rows"]
@@ -151,16 +151,19 @@ def render_frame_multichip(buffers: SceneBuffers, params: FrameParams, *,
             packed_l = _shift_rows_y(setup.packed, y0)
             aabb_l = _shift_aabb_y(setup.aabb, y0)
             caabb, cvalid = raster.chunk_aabbs(aabb_l, setup.valid)
-            bins, counts, _ = raster.bin_triangles(
+            cbins, _, _ = raster.bin_triangles(
                 caabb, cvalid, tiles_x=tiles_x, tiles_y=tiles_y_band,
                 tile_w=tile_w, tile_h=tile_h, entry_cap=entry_cap,
                 bin_cap=bin_cap)
+            bins, counts, _ = raster.refine_bins(
+                cbins, aabb_l, tiles_x=tiles_x, tiles_y=tiles_y_band,
+                tile_w=tile_w, tile_h=tile_h, tri_cap=tri_cap)
             return setup, packed_l, aabb_l, bins, counts
 
         # opaque: local raster + sort-last composite over 'tri'
         setup, packed_l, aabb_l, bins, counts = raster_set(ov, od, oval, vis)
         z, tid_local = raster.rasterize(
-            packed_l, aabb_l, bins, counts, tiles_x=tiles_x,
+            packed_l, bins, counts, tiles_x=tiles_x,
             tiles_y=tiles_y_band, tile_w=tile_w, tile_h=tile_h)
         # local ids -> global ids (chunk-sharded: global = local + shard0)
         t_shard = ov.shape[0]
@@ -188,7 +191,7 @@ def render_frame_multichip(buffers: SceneBuffers, params: FrameParams, *,
             last = jnp.full(z.shape, -1, jnp.int32)
             for _ in range(peels):
                 layer = raster.rasterize_peel(
-                    packed_tl, aabb_tl, bins_t, counts_t, z, last,
+                    packed_tl, bins_t, counts_t, z, last,
                     tiles_x=tiles_x, tiles_y=tiles_y_band,
                     tile_w=tile_w, tile_h=tile_h)
                 found = layer < raster.ID_INF

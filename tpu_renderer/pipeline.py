@@ -75,12 +75,12 @@ class FrameParams(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "tile_h", "tile_w", "entry_cap",
-                     "bin_cap", "peels", "fp16"),
+                     "bin_cap", "tri_cap", "peels", "fp16"),
 )
 def render_frame(buffers: SceneBuffers, params: FrameParams, *,
                  width: int, height: int, tile_h: int = 32, tile_w: int = 128,
                  entry_cap: int = 1 << 15, bin_cap: int = 512,
-                 peels: int = 4, fp16: bool = True):
+                 tri_cap: int = 1024, peels: int = 4, fp16: bool = True):
     """Render one frame. Returns ((H, W, 4) uint8 image, aux dict)."""
     wp, hp = pad_extent(width, height, tile_h, tile_w)
     tiles_x, tiles_y = wp // tile_w, hp // tile_h
@@ -131,11 +131,15 @@ def render_frame(buffers: SceneBuffers, params: FrameParams, *,
             width, height,
         )
         caabb, cvalid = raster.chunk_aabbs(setup.aabb, setup.valid)
-        bins, counts, overflow = raster.bin_triangles(
+        cbins, _, overflow_c = raster.bin_triangles(
             caabb, cvalid, tiles_x=tiles_x, tiles_y=tiles_y,
             tile_w=tile_w, tile_h=tile_h, entry_cap=entry_cap, bin_cap=bin_cap)
+        bins, counts, overflow_t = raster.refine_bins(
+            cbins, setup.aabb, tiles_x=tiles_x, tiles_y=tiles_y,
+            tile_w=tile_w, tile_h=tile_h, tri_cap=tri_cap)
+        overflow = overflow_c + overflow_t
         z, tid = raster.rasterize(
-            setup.packed, setup.aabb, bins, counts,
+            setup.packed, bins, counts,
             tiles_x=tiles_x, tiles_y=tiles_y, tile_w=tile_w, tile_h=tile_h)
         fb = q(shade.shade(
             tid, setup.packed, setup.attrs, buffers.mat_tex,
@@ -155,14 +159,18 @@ def render_frame(buffers: SceneBuffers, params: FrameParams, *,
             width, height,
         )
         caabb_t, cvalid_t = raster.chunk_aabbs(setup_t.aabb, setup_t.valid)
-        bins_t, counts_t, overflow_t = raster.bin_triangles(
+        cbins_t, _, overflow_tc = raster.bin_triangles(
             caabb_t, cvalid_t, tiles_x=tiles_x, tiles_y=tiles_y,
             tile_w=tile_w, tile_h=tile_h, entry_cap=entry_cap, bin_cap=bin_cap)
+        bins_t, counts_t, overflow_tt = raster.refine_bins(
+            cbins_t, setup_t.aabb, tiles_x=tiles_x, tiles_y=tiles_y,
+            tile_w=tile_w, tile_h=tile_h, tri_cap=tri_cap)
+        overflow_t = overflow_tc + overflow_tt
         last = jnp.full((hp, wp), -1, jnp.int32)
         layers_found = jnp.zeros((), jnp.int32)
         for _ in range(peels):
             layer = raster.rasterize_peel(
-                setup_t.packed, setup_t.aabb, bins_t, counts_t, z, last,
+                setup_t.packed, bins_t, counts_t, z, last,
                 tiles_x=tiles_x, tiles_y=tiles_y, tile_w=tile_w, tile_h=tile_h)
             found = layer < raster.ID_INF
             tid_layer = jnp.where(found, layer, -1)
