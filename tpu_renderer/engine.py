@@ -80,9 +80,11 @@ class Engine:
         hp = -(-cfg.height // cfg.tile_h) * cfg.tile_h
         n_tiles = (wp // cfg.tile_w) * (hp // cfg.tile_h)
         # every chunk could touch ~a few tiles; cap generously, power of two
-        entry_cap = 1 << max(10, int(np.ceil(np.log2(8 * n_chunks + n_tiles))))
-        bin_cap = int(min(max(256, n_chunks), 4096))
-        self._caps = dict(entry_cap=entry_cap, bin_cap=bin_cap)
+        entry_cap = 1 << max(12, min(18, int(np.ceil(np.log2(16 * n_chunks + n_tiles)))))
+        # per-tile chunk-slot capacity; candidate table is n_tiles*bin_cap*CHUNK
+        bin_cap = int(min(max(64, n_chunks), 512))
+        tri_cap = int(min(max(256, 4 * raster.CHUNK * 4), 1024))
+        self._caps = dict(entry_cap=entry_cap, bin_cap=bin_cap, tri_cap=tri_cap)
 
     # -- per-frame ------------------------------------------------------------
 

@@ -38,9 +38,10 @@ from tpu_renderer.kernels import vertex as vx
 
 DEPTH_CLEAR = 0.0  # vk_initializers.cpp:144 (reversed-Z)
 NO_TRI = -1
-CHUNK = 64  # triangles per binning chunk
+CHUNK = 16  # triangles per binning chunk (granularity of the coarse bins)
 
 _EMPTY_AABB = (-1.0, -1.0, -2.0, -2.0)
+_UNROLL = 4  # raster inner-loop unroll (hides scalar-load latency)
 
 
 def pad_tris(n: int) -> int:
@@ -48,17 +49,17 @@ def pad_tris(n: int) -> int:
 
 
 def pad_for_raster(packed, aabb, valid):
-    """Zero-pad triangle arrays to a CHUNK multiple.
+    """Pad triangle arrays to a CHUNK multiple with inert rows.
 
-    Zero rows are inert: their edge functions evaluate to 0 with a false
-    top-left flag (never covered) and their (0,0,0,0) AABB misses every tile's
-    pixel-center bounds.
+    Padding rows get zero edge planes (never covered: zero edge value with a
+    false top-left flag) and the canonical empty AABB (binned nowhere).
     """
     T = packed.shape[0]
     Tp = pad_tris(T)
     if Tp != T:
         packed = jnp.pad(packed, ((0, Tp - T), (0, 0)))
-        aabb = jnp.pad(aabb, ((0, Tp - T), (0, 0)))
+        empty = jnp.broadcast_to(jnp.asarray(_EMPTY_AABB, aabb.dtype), (Tp - T, 4))
+        aabb = jnp.concatenate([aabb, empty], axis=0)
         valid = jnp.pad(valid, (0, Tp - T))
     return packed, aabb, valid
 
@@ -153,6 +154,24 @@ def full_bins(n_chunks: int, n_tiles: int, bin_cap: int):
     return bins, counts
 
 
+def _pack_tile_aabb(aabb, tiles_x: int, tiles_y: int, tile_w: int, tile_h: int):
+    """Per-triangle tile-coordinate AABB packed into one u32
+    (tx0 | ty0<<8 | tx1<<16 | ty1<<24). Empty AABBs pack to tx0 > tx1.
+    Requires tiles_x, tiles_y <= 255 (true for any <32k-wide framebuffer).
+    """
+    tx0 = jnp.clip(jnp.floor(aabb[:, 0] / tile_w).astype(jnp.int32), 0, tiles_x - 1)
+    ty0 = jnp.clip(jnp.floor(aabb[:, 1] / tile_h).astype(jnp.int32), 0, tiles_y - 1)
+    tx1 = jnp.floor(aabb[:, 2] / tile_w).astype(jnp.int32)
+    ty1 = jnp.floor(aabb[:, 3] / tile_h).astype(jnp.int32)
+    empty = (aabb[:, 2] < aabb[:, 0]) | (aabb[:, 3] < aabb[:, 1]) | (tx1 < 0) | (ty1 < 0)
+    tx1 = jnp.clip(tx1, 0, tiles_x - 1)
+    ty1 = jnp.clip(ty1, 0, tiles_y - 1)
+    # empty: force tx0 > tx1 so no tile matches
+    tx0 = jnp.where(empty, 1, tx0)
+    tx1 = jnp.where(empty, 0, tx1)
+    return tx0 | (ty0 << 8) | (tx1 << 16) | (ty1 << 24)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("tiles_x", "tiles_y", "tile_w", "tile_h", "tri_cap"),
@@ -171,34 +190,45 @@ def refine_bins(chunk_bins, aabb, *, tiles_x: int, tiles_y: int,
     """
     n_tiles, bcap = chunk_bins.shape
     T = aabb.shape[0]
+    ncand = bcap * CHUNK
 
     tri = jnp.where(chunk_bins >= 0, chunk_bins, 0)[:, :, None] * CHUNK \
         + jnp.arange(CHUNK, dtype=jnp.int32)[None, None, :]
-    tri = tri.reshape(n_tiles, bcap * CHUNK)
+    tri = tri.reshape(n_tiles, ncand)
     slot_ok = jnp.repeat(chunk_bins >= 0, CHUNK, axis=1)
 
-    a = aabb[jnp.clip(tri, 0, T - 1)]                      # (n_tiles, bcap*64, 4)
-    tile_id = jnp.arange(n_tiles, dtype=jnp.int32)
-    tx = (tile_id % tiles_x).astype(jnp.float32)
-    ty = (tile_id // tiles_x).astype(jnp.float32)
-    x0c = (tx * tile_w + 0.5)[:, None]
-    y0c = (ty * tile_h + 0.5)[:, None]
-    x1c = x0c + (tile_w - 1)
-    y1c = y0c + (tile_h - 1)
-    hit = (slot_ok
-           & (a[..., 0] <= x1c) & (a[..., 2] >= x0c)
-           & (a[..., 1] <= y1c) & (a[..., 3] >= y0c))
+    # One flat gather per candidate: per-triangle TILE-coordinate AABBs
+    # packed into a single u32 (gathers cost ~cycles/element on TPU, so one
+    # packed word beats four floats 4x).
+    packed_tc = _pack_tile_aabb(aabb, tiles_x, tiles_y, tile_w, tile_h)
+    flat_tri = jnp.clip(tri, 0, T - 1).reshape(-1)
+    cand = packed_tc[flat_tri].reshape(n_tiles, ncand)
 
-    csum = jnp.cumsum(hit.astype(jnp.int32), axis=1)       # (n_tiles, bcap*64)
-    full_counts = csum[:, -1]
+    tile_id = jnp.arange(n_tiles, dtype=jnp.int32)
+    tx = tile_id % tiles_x
+    ty = tile_id // tiles_x
+    ctx0 = cand & 0xFF
+    cty0 = (cand >> 8) & 0xFF
+    ctx1 = (cand >> 16) & 0xFF
+    cty1 = (cand >> 24) & 0xFF
+    hit = (slot_ok
+           & (ctx0 <= tx[:, None]) & (ctx1 >= tx[:, None])
+           & (cty0 <= ty[:, None]) & (cty1 >= ty[:, None])
+           & (ctx0 <= ctx1))
+
+    full_counts = jnp.sum(hit.astype(jnp.int32), axis=1)
     counts = jnp.minimum(full_counts, tri_cap)
 
-    want = jnp.arange(1, tri_cap + 1, dtype=jnp.int32)
-    pos = jax.vmap(lambda c: jnp.searchsorted(c, want, side="left"))(csum)
-    pos = jnp.clip(pos, 0, bcap * CHUNK - 1).astype(jnp.int32)
-    ids = jnp.take_along_axis(tri, pos, axis=1)
+    # Compaction by ROW-WISE sort (vectorizes across tiles — unlike a global
+    # 1D sort, and unlike per-(tile,slot) gather chains, this is pure vector
+    # work): misses sort behind hits, ties keep candidate order, which is
+    # submission order.
+    slot = jnp.broadcast_to(jnp.arange(ncand, dtype=jnp.int32)[None, :], tri.shape)
+    key = jnp.where(hit, slot, ncand + slot)
+    _, tri_sorted = jax.lax.sort((key, tri), dimension=1, num_keys=1)
+
     in_bin = jnp.arange(tri_cap, dtype=jnp.int32)[None, :] < counts[:, None]
-    tri_bins = jnp.where(in_bin, ids, NO_TRI)
+    tri_bins = jnp.where(in_bin, tri_sorted[:, :tri_cap], NO_TRI)
     overflow = jnp.sum(full_counts - counts)
     return tri_bins, counts, overflow
 
@@ -227,46 +257,41 @@ def _edge_cov(a, b, c, X, Y):
     return (val > 0.0) | ((val == 0.0) & tl)
 
 
-def _fetch_bins(bins_ref, bin_smem, bin_sem, tile):
-    """This tile's triangle list: HBM -> SMEM (scalar reads need SMEM; a
-    VMEM row would need dynamic lane indexing, which Mosaic does not
-    lower). bins are flattened 1D so every tile's slice is 1024-aligned."""
-    bin_cap = bin_smem.shape[0]
-    copy = pltpu.make_async_copy(
-        bins_ref.at[pl.ds(pl.multiple_of(tile * bin_cap, 1024), bin_cap)],
-        bin_smem, bin_sem)
-    copy.start()
-    copy.wait()
-
-
-def _raster_kernel(counts_ref, bins_ref, packed_ref, z_ref, tid_ref,
-                   bin_smem, bin_sem, *, tiles_x: int, tile_h: int, tile_w: int):
+def _raster_kernel(counts_ref, rows_ref, ids_ref, z_ref, tid_ref, *,
+                   tiles_x: int, tile_h: int, tile_w: int):
     i = pl.program_id(0)
     j = pl.program_id(1)
     tile = i * tiles_x + j
     n = counts_ref[tile, 0]
-    _fetch_bins(bins_ref, bin_smem, bin_sem, tile)
     X, Y = _tile_coords(i, j, tile_h, tile_w)
 
-    def tri_body(k, carry):
+    def tri_body(k4, carry):
         z, tid = carry
-        idx = bin_smem[k]
-        r = lambda col: packed_ref[idx, col]  # noqa: E731
-        cov = (_edge_cov(r(0), r(1), r(2), X, Y)
-               & _edge_cov(r(3), r(4), r(5), X, Y)
-               & _edge_cov(r(6), r(7), r(8), X, Y))
-        zv = r(9) * X + r(10) * Y + r(11)
-        # Near/far "clip": z outside [0,1] rejected per pixel (exact
-        # equivalent of clip z in [0, w] for the w>0 half-space).
-        cov &= (zv >= 0.0) & (zv <= 1.0)
-        # Reversed-Z GREATER_OR_EQUAL (vk_engine.cpp:1659); ties resolve to
-        # the later triangle (bins are in submission order).
-        take = cov & (zv >= z)
-        return jnp.where(take, zv, z), jnp.where(take, idx, tid)
+        # unrolled x4 so the dependent scalar loads of later triangles
+        # overlap the vector work of earlier ones
+        for u in range(_UNROLL):
+            k = k4 * _UNROLL + u
+            # dynamic *sublane* scalar reads (static lane index) — the only
+            # dynamic-index form Mosaic lowers from VMEM
+            r = lambda col, _k=k: rows_ref[0, _k, col]  # noqa: E731
+            cov = (_edge_cov(r(0), r(1), r(2), X, Y)
+                   & _edge_cov(r(3), r(4), r(5), X, Y)
+                   & _edge_cov(r(6), r(7), r(8), X, Y))
+            zv = r(9) * X + r(10) * Y + r(11)
+            # Near/far "clip": z outside [0,1] rejected per pixel (exact
+            # equivalent of clip z in [0, w] for the w>0 half-space).
+            cov &= (zv >= 0.0) & (zv <= 1.0)
+            # Reversed-Z GREATER_OR_EQUAL (vk_engine.cpp:1659); ties resolve
+            # to the later triangle (bins are in submission order).
+            take = cov & (zv >= z) & (k < n)
+            z = jnp.where(take, zv, z)
+            tid = jnp.where(take, ids_ref[0, k, 0], tid)
+        return z, tid
 
     z0 = jnp.full((tile_h, tile_w), DEPTH_CLEAR, jnp.float32)
     tid0 = jnp.full((tile_h, tile_w), NO_TRI, jnp.int32)
-    z1, tid1 = jax.lax.fori_loop(0, n, tri_body, (z0, tid0))
+    n4 = (n + _UNROLL - 1) // _UNROLL
+    z1, tid1 = jax.lax.fori_loop(0, n4, tri_body, (z0, tid0))
     z_ref[:, :] = z1
     tid_ref[:, :] = tid1
 
@@ -291,11 +316,17 @@ def rasterize(packed, bins, counts, *, tiles_x: int, tiles_y: int,
     assert T % CHUNK == 0
     n_tiles, bin_cap = bins.shape
     assert n_tiles == tiles_x * tiles_y
-    # The per-tile bin-row DMA slices a 1D HBM array tiled at 1024 elements.
-    bin_cap_pad = cdiv(bin_cap, 1024) * 1024
+    bin_cap_pad = cdiv(bin_cap, 8) * 8  # sublane alignment
     if bin_cap_pad != bin_cap:
         bins = jnp.pad(bins, ((0, 0), (0, bin_cap_pad - bin_cap)), constant_values=NO_TRI)
         bin_cap = bin_cap_pad
+
+    # Per-tile setup rows, gathered in XLA: each tile's Pallas block is a
+    # dense (bin_cap, 16) VMEM slab read with dynamic-sublane scalar loads.
+    # (A (T,16) table in VMEM would lane-pad 16 -> 128 and blow VMEM.)
+    safe = jnp.clip(bins, 0, T - 1)
+    rows = packed[safe]                               # (n_tiles, bin_cap, 16)
+    ids = bins[:, :, None]                            # (n_tiles, bin_cap, 1)
 
     hp = tiles_y * tile_h
     wp = tiles_x * tile_w
@@ -310,19 +341,19 @@ def rasterize(packed, bins, counts, *, tiles_x: int, tiles_y: int,
         grid=grid,
         in_specs=[
             pl.BlockSpec((n_tiles, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.HBM),  # bins stay in HBM; DMA'd per tile
-            pl.BlockSpec((T, 16), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bin_cap, 16),
+                         lambda i, j, _tx=tiles_x: (i * _tx + j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bin_cap, 1),
+                         lambda i, j, _tx=tiles_x: (i * _tx + j, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM),
         ),
-        scratch_shapes=[
-            pltpu.SMEM((bin_cap,), jnp.int32),
-            pltpu.SemaphoreType.DMA,
-        ],
         interpret=use_interpret(),
-    )(counts.reshape(n_tiles, 1), bins.reshape(-1), packed)
+    )(counts.reshape(n_tiles, 1), rows, ids)
     return z, tid
 
 
@@ -333,22 +364,20 @@ def rasterize(packed, bins, counts, *, tiles_x: int, tiles_y: int,
 ID_INF = 0x7FFFFFF  # "no fragment" marker (> any triangle id)
 
 
-def _peel_kernel(counts_ref, bins_ref, packed_ref, zbase_ref,
-                 last_ref, out_ref, bin_smem, bin_sem, *,
-                 tiles_x: int, tile_h: int, tile_w: int):
+def _peel_kernel(counts_ref, rows_ref, ids_ref, zbase_ref,
+                 last_ref, out_ref, *, tiles_x: int, tile_h: int, tile_w: int):
     i = pl.program_id(0)
     j = pl.program_id(1)
     tile = i * tiles_x + j
     n = counts_ref[tile, 0]
-    _fetch_bins(bins_ref, bin_smem, bin_sem, tile)
     X, Y = _tile_coords(i, j, tile_h, tile_w)
 
     zbase = zbase_ref[:, :]
     last = last_ref[:, :]
 
     def tri_body(k, best):
-        idx = bin_smem[k]
-        r = lambda col: packed_ref[idx, col]  # noqa: E731
+        idx = ids_ref[0, k, 0]
+        r = lambda col: rows_ref[0, k, col]  # noqa: E731
         cov = (_edge_cov(r(0), r(1), r(2), X, Y)
                & _edge_cov(r(3), r(4), r(5), X, Y)
                & _edge_cov(r(6), r(7), r(8), X, Y))
@@ -379,10 +408,14 @@ def rasterize_peel(packed, bins, counts, z_base, last_id, *,
     T = packed.shape[0]
     assert T % CHUNK == 0
     n_tiles, bin_cap = bins.shape
-    bin_cap_pad = cdiv(bin_cap, 1024) * 1024
+    bin_cap_pad = cdiv(bin_cap, 8) * 8
     if bin_cap_pad != bin_cap:
         bins = jnp.pad(bins, ((0, 0), (0, bin_cap_pad - bin_cap)), constant_values=NO_TRI)
         bin_cap = bin_cap_pad
+
+    safe = jnp.clip(bins, 0, T - 1)
+    rows = packed[safe]
+    ids = bins[:, :, None]
 
     hp = tiles_y * tile_h
     wp = tiles_x * tile_w
@@ -393,18 +426,18 @@ def rasterize_peel(packed, bins, counts, z_base, last_id, *,
         grid=(tiles_y, tiles_x),
         in_specs=[
             pl.BlockSpec((n_tiles, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((T, 16), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bin_cap, 16),
+                         lambda i, j, _tx=tiles_x: (i * _tx + j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bin_cap, 1),
+                         lambda i, j, _tx=tiles_x: (i * _tx + j, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.SMEM((bin_cap,), jnp.int32),
-            pltpu.SemaphoreType.DMA,
-        ],
         interpret=use_interpret(),
-    )(counts.reshape(n_tiles, 1), bins.reshape(-1), packed, z_base, last_id)
+    )(counts.reshape(n_tiles, 1), rows, ids, z_base, last_id)
 
 
 # ---------------------------------------------------------------------------
