@@ -173,12 +173,11 @@ def render_frame_multichip(buffers: SceneBuffers, params: FrameParams, *,
         tid = jax.lax.pmax(tid, "tri")
         z = zmax
 
-        # deferred shade needs the winning triangle's setup row: rows live on
-        # the owning 'tri' shard; all_gather the (small) setup tables.
-        packed_all = jax.lax.all_gather(packed_l, "tri", axis=0, tiled=True)
-        attrs_all = jax.lax.all_gather(setup.attrs, "tri", axis=0, tiled=True)
-        fb = q(shade.shade(tid, packed_all, attrs_all, buffers.mat_tex,
-                           buffers.mat_filter, buffers.atlas,
+        # deferred shade needs the winning triangle's shade row: rows live on
+        # the owning 'tri' shard; all_gather the (small) shade tables.
+        rows_local = shade.build_shade_rows(packed_l, setup.attrs, buffers.mat_meta)
+        rows_all = jax.lax.all_gather(rows_local, "tri", axis=0, tiled=True)
+        fb = q(shade.shade(tid, rows_all, buffers.atlas,
                            params.ambient[:3], params.sun_dir[:3],
                            params.sun_color[3], fb))
 
@@ -187,6 +186,8 @@ def render_frame_multichip(buffers: SceneBuffers, params: FrameParams, *,
             all_vis = jnp.ones_like(vis)
             setup_t, packed_tl, aabb_tl, bins_t, counts_t = raster_set(
                 tv, td, tval, all_vis)
+            rows_t = shade.build_shade_rows(packed_tl, setup_t.attrs,
+                                            buffers.mat_meta)
             delta = jnp.zeros_like(fb[:3])
             last = jnp.full(z.shape, -1, jnp.int32)
             for _ in range(peels):
@@ -197,8 +198,7 @@ def render_frame_multichip(buffers: SceneBuffers, params: FrameParams, *,
                 found = layer < raster.ID_INF
                 tl_layer = jnp.where(found, layer, 0)
                 src = shade.shade_core(
-                    tl_layer, packed_tl, setup_t.attrs, buffers.mat_tex,
-                    buffers.mat_filter, buffers.atlas, params.ambient[:3],
+                    tl_layer, rows_t, buffers.atlas, params.ambient[:3],
                     params.sun_dir[:3], params.sun_color[3])
                 src = jnp.where(found[None], jnp.moveaxis(src, -1, 0), 0.0)
                 delta = delta + src

@@ -53,8 +53,8 @@ class SceneBuffers(NamedTuple):
     draw_bounds_origin: jax.Array   # (D, 3) f32
     draw_bounds_extents: jax.Array  # (D, 3) f32
     mat_color_factors: jax.Array  # (M, 4) f32
-    mat_tex: jax.Array            # (M,) i32 texture id for colorTex binding
-    mat_filter: jax.Array         # (M,) i32 sampler filter flags
+    mat_meta: jax.Array           # (M, 8) f32 — atlas base_x/base_y/w0/h0,
+    #                               n_levels, filter_flags (texture binding state)
     atlas: TextureAtlas
 
 
@@ -141,9 +141,9 @@ def render_frame(buffers: SceneBuffers, params: FrameParams, *,
         z, tid = raster.rasterize(
             setup.packed, bins, counts,
             tiles_x=tiles_x, tiles_y=tiles_y, tile_w=tile_w, tile_h=tile_h)
+        rows = shade.build_shade_rows(setup.packed, setup.attrs, buffers.mat_meta)
         fb = q(shade.shade(
-            tid, setup.packed, setup.attrs, buffers.mat_tex,
-            buffers.mat_filter, buffers.atlas, params.ambient[:3],
+            tid, rows, buffers.atlas, params.ambient[:3],
             params.sun_dir[:3], params.sun_color[3], fb))
         aux["bin_overflow"] = overflow
         aux["opaque_triangles"] = jnp.sum(
@@ -166,6 +166,8 @@ def render_frame(buffers: SceneBuffers, params: FrameParams, *,
             cbins_t, setup_t.aabb, tiles_x=tiles_x, tiles_y=tiles_y,
             tile_w=tile_w, tile_h=tile_h, tri_cap=tri_cap)
         overflow_t = overflow_tc + overflow_tt
+        rows_t = shade.build_shade_rows(setup_t.packed, setup_t.attrs,
+                                        buffers.mat_meta)
         last = jnp.full((hp, wp), -1, jnp.int32)
         layers_found = jnp.zeros((), jnp.int32)
         for _ in range(peels):
@@ -175,8 +177,7 @@ def render_frame(buffers: SceneBuffers, params: FrameParams, *,
             found = layer < raster.ID_INF
             tid_layer = jnp.where(found, layer, -1)
             fb = q(shade.blend_layer(
-                fb, tid_layer, setup_t.packed, setup_t.attrs,
-                buffers.mat_tex, buffers.mat_filter, buffers.atlas,
+                fb, tid_layer, rows_t, buffers.atlas,
                 params.ambient[:3], params.sun_dir[:3], params.sun_color[3]))
             last = jnp.where(found, layer, raster.ID_INF)
             layers_found += found.any().astype(jnp.int32)

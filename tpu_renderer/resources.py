@@ -2,13 +2,20 @@
 texture uploads and mip generation (vk_engine.cpp:308-338, 1537-1617,
 vk_images.cpp:66-133) plus upload_mesh (vk_engine.cpp:340-390).
 
-Instead of per-resource VkImage/VkBuffer objects, everything a scene needs
-on device is packed into a few large arrays (HBM-friendly, gather-friendly):
+Texture storage is designed around one hard TPU constraint: *every indexed
+(gathered) operation costs ~tens of ns per index regardless of row width*.
+So texture state is laid out so that one frame needs exactly one gather per
+sampled mip level:
 
-* one RGBA8 **texture atlas** (packed uint32 texels) holding every texture's
-  full mip chain, with an entry table (x, y, w, h) per (texture, level);
-* flat vertex attribute arrays (SoA);
-* flat triangle index arrays.
+* **Analytic atlas layout**: each texture is a horizontal strip — mip level
+  L sits at ``x = base_x + L * w0`` with size ``(w0 >> L, h0 >> L)``
+  (iterated floor-halving == shift). No per-(texture, level) entry table is
+  ever consulted per pixel; level addressing is pure arithmetic from 4
+  per-texture scalars.
+* **Prebaked bilinear quads**: the atlas is stored as rows of 4 packed-RGBA8
+  texels — texel (x, y) plus its +x/+y/+xy neighbors with REPEAT wrap baked
+  inside the level region. A bilinear tap = ONE row gather; nearest-filter
+  taps select the right texel from the same quad.
 
 Texture defaults mirror init_default_data (vk_engine.cpp:226-306): 1px
 white/grey/black, a 32x32 magenta/black checkerboard used as the error
@@ -80,11 +87,15 @@ def downsample_blit(img: np.ndarray) -> np.ndarray:
 
 
 def mip_chain(img: np.ndarray, enabled: bool = True) -> List[np.ndarray]:
-    """Full chain down to 1x1 (vk_engine.cpp:1603-1605 mipmap path)."""
+    """Full chain down to 1x1 (vk_engine.cpp:1603-1605 mipmap path).
+
+    Level sizes follow (w0 >> L, h0 >> L) so the atlas layout stays
+    analytic; identical to iterated floor-halving.
+    """
     levels = [img]
     if not enabled:
         return levels
-    while max(levels[-1].shape[0], levels[-1].shape[1]) > 1:
+    while levels[-1].shape[0] > 1 or levels[-1].shape[1] > 1:
         levels.append(downsample_blit(levels[-1]))
     return levels
 
@@ -95,60 +106,80 @@ def _pack_rgba8(img: np.ndarray) -> np.ndarray:
     return i[..., 0] | (i[..., 1] << 8) | (i[..., 2] << 16) | (i[..., 3] << 24)
 
 
+def _quad_rows(level: np.ndarray) -> np.ndarray:
+    """(h, w) u32 -> (h, w, 4) u32 of [T(x,y), T(x+1,y), T(x,y+1), T(x+1,y+1)]
+    with REPEAT wrap inside the level."""
+    xp = np.roll(level, -1, axis=1)
+    yp = np.roll(level, -1, axis=0)
+    xyp = np.roll(xp, -1, axis=0)
+    return np.stack([level, xp, yp, xyp], axis=-1)
+
+
 class TextureAtlas(NamedTuple):
-    data: jnp.ndarray        # (HA, WA) uint32 packed RGBA8
-    entries: jnp.ndarray     # (E, 4) i32 — x, y, w, h per (texture, level)
-    tex_base: jnp.ndarray    # (n_tex,) i32 — first entry index per texture
-    tex_levels: jnp.ndarray  # (n_tex,) i32 — mip level count per texture
+    quads: jnp.ndarray       # (HA * WA, 4) uint32 — prebaked bilinear quads
+    width: int               # WA (static)
+    tex_meta: jnp.ndarray    # (n_tex, 6) i32 — base_x, base_y, w0, h0,
+    #                          n_levels, 0 (spare)
 
 
-def build_atlas(images: List[np.ndarray], mipmapped: bool = True,
-                atlas_width: int = 2048) -> TextureAtlas:
-    """Shelf-pack every texture's mip chain into one big atlas.
+def build_atlas(images: List[np.ndarray], mipmapped=None,
+                atlas_width: int = 4096) -> TextureAtlas:
+    """Shelf-pack textures as analytic mip strips into one quad atlas.
 
-    images: list of (h, w, 4) uint8 arrays. Keeps insertion order: texture i
-    in the scene refers to atlas texture i.
+    images: list of (h, w, 4) uint8. mipmapped: per-texture bools (or one
+    bool / None = all mipmapped).
     """
     assert images, "atlas needs at least one image"
-    rects = []     # (tex, level) -> np image
-    tex_base = []
-    tex_levels = []
-    for img in images:
-        assert img.ndim == 3 and img.shape[2] == 4 and img.dtype == np.uint8
-        chain = mip_chain(img, enabled=mipmapped)
-        tex_base.append(len(rects))
-        tex_levels.append(len(chain))
-        rects.extend(chain)
+    n = len(images)
+    if mipmapped is None or mipmapped is True:
+        mipmapped = [True] * n
+    elif mipmapped is False:
+        mipmapped = [False] * n
 
-    widest = max(r.shape[1] for r in rects)
+    strips = []
+    meta = np.zeros((n, 6), np.int32)
+    for i, img in enumerate(images):
+        assert img.ndim == 3 and img.shape[2] == 4 and img.dtype == np.uint8
+        chain = mip_chain(img, enabled=mipmapped[i])
+        h0, w0 = img.shape[:2]
+        strip = np.zeros((h0, w0 * len(chain)), np.uint32)
+        strip_q = np.zeros((h0, w0 * len(chain), 4), np.uint32)
+        for L, lvl in enumerate(chain):
+            q = _quad_rows(_pack_rgba8(lvl))
+            strip_q[: lvl.shape[0], L * w0: L * w0 + lvl.shape[1]] = q
+        meta[i, 2] = w0
+        meta[i, 3] = h0
+        meta[i, 4] = len(chain)
+        strips.append(strip_q)
+
+    widest = max(s.shape[1] for s in strips)
     aw = max(atlas_width, 1 << int(np.ceil(np.log2(widest))))
 
-    # shelf packing in insertion order (mip chains shrink, so short shelves)
-    entries = np.zeros((len(rects), 4), np.int32)
+    # shelf packing
     shelf_y = 0
     shelf_h = 0
     cursor_x = 0
-    for idx, r in enumerate(rects):
-        h, w = r.shape[:2]
+    places = []
+    for s in strips:
+        h, w = s.shape[:2]
         if cursor_x + w > aw:
             shelf_y += shelf_h
             cursor_x = 0
             shelf_h = 0
-        entries[idx] = (cursor_x, shelf_y, w, h)
+        places.append((cursor_x, shelf_y))
         cursor_x += w
         shelf_h = max(shelf_h, h)
-    ah = shelf_y + shelf_h
-    # pad height to a lane-friendly multiple
-    ah = ((ah + 7) // 8) * 8
+    ah = ((shelf_y + shelf_h + 7) // 8) * 8
 
-    data = np.zeros((ah, aw), np.uint32)
-    for idx, r in enumerate(rects):
-        x, y, w, h = entries[idx]
-        data[y:y + h, x:x + w] = _pack_rgba8(r)
+    quads = np.zeros((ah, aw, 4), np.uint32)
+    for i, s in enumerate(strips):
+        x, y = places[i]
+        quads[y:y + s.shape[0], x:x + s.shape[1]] = s
+        meta[i, 0] = x
+        meta[i, 1] = y
 
     return TextureAtlas(
-        data=jnp.asarray(data),
-        entries=jnp.asarray(entries),
-        tex_base=jnp.asarray(np.asarray(tex_base, np.int32)),
-        tex_levels=jnp.asarray(np.asarray(tex_levels, np.int32)),
+        quads=jnp.asarray(quads.reshape(-1, 4)),
+        width=aw,
+        tex_meta=jnp.asarray(meta),
     )

@@ -380,8 +380,16 @@ def flatten_scene(scene: LoadedScene, top_matrix: Optional[np.ndarray] = None,
 
     atlas = resources.build_atlas(
         scene.textures,
-        mipmapped=mipmapped,
+        mipmapped=[m and mipmapped for m in scene.texture_mipmapped],
     )
+
+    # per-material texture binding state (atlas placement + sampler), packed
+    # as small f32 rows so the shade stage needs no per-pixel table lookups
+    tex_meta_np = np.asarray(atlas.tex_meta)
+    mat_meta = np.zeros((max(len(scene.materials), 1), 8), np.float32)
+    for i, m in enumerate(scene.materials):
+        bx, by, w0, h0, nlev, _ = tex_meta_np[m.tex]
+        mat_meta[i, :6] = (bx, by, w0, h0, nlev, m.filter_flags)
 
     n_mat = len(scene.materials)
     buffers = SceneBuffers(
@@ -404,8 +412,7 @@ def flatten_scene(scene: LoadedScene, top_matrix: Optional[np.ndarray] = None,
         mat_color_factors=jnp.asarray(
             np.stack([m.color_factors for m in scene.materials]).astype(np.float32)
             if n_mat else np.ones((1, 4), np.float32)),
-        mat_tex=jnp.asarray(np.array([m.tex for m in scene.materials], np.int32)),
-        mat_filter=jnp.asarray(np.array([m.filter_flags for m in scene.materials], np.int32)),
+        mat_meta=jnp.asarray(mat_meta),
         atlas=atlas,
     )
     return FlattenedDrawList(objects=objects, n_opaque=n_opaque, buffers=buffers)
