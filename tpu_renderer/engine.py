@@ -24,7 +24,7 @@ import numpy as np
 from tpu_renderer import math3d, scene as scene_mod
 from tpu_renderer.camera import Camera
 from tpu_renderer.config import RendererConfig
-from tpu_renderer.pipeline import FrameParams, render_frame
+from tpu_renderer.pipeline import FrameParams, render_frame  # noqa: F401
 from tpu_renderer.kernels import raster
 
 
@@ -49,6 +49,7 @@ class Engine:
         self.flat: Optional[scene_mod.FlattenedDrawList] = None
         self.frame_number = 0
         self.current_background_effect = self.config.background_effect
+        self.peels = 2  # transparency depth-peel layers per frame
         self._caps = None
         self._last_aux = None
 
@@ -83,31 +84,39 @@ class Engine:
         entry_cap = 1 << max(12, min(18, int(np.ceil(np.log2(16 * n_chunks + n_tiles)))))
         # per-tile chunk-slot capacity; candidate table is n_tiles*bin_cap*CHUNK
         bin_cap = int(min(max(64, n_chunks), 512))
-        tri_cap = int(min(max(256, 4 * raster.CHUNK * 4), 1024))
+        tri_cap = 1024
         self._caps = dict(entry_cap=entry_cap, bin_cap=bin_cap, tri_cap=tri_cap)
 
     # -- per-frame ------------------------------------------------------------
 
     def frame_params(self) -> FrameParams:
-        """update_scene's uniform block (vk_engine.cpp:1479-1512)."""
+        """update_scene's uniform block (vk_engine.cpp:1479-1512).
+
+        Static pieces are uploaded once and cached; per frame only the view
+        matrix crosses to the device (one small transfer).
+        """
         cfg = self.config
-        proj = math3d.vulkan_perspective(
-            math3d.radians(cfg.fov_y_deg), cfg.aspect, cfg.z_near, cfg.z_far)
+        key = (cfg, self.current_background_effect)
+        if getattr(self, "_params_cache_key", None) != key:
+            proj = math3d.vulkan_perspective(
+                math3d.radians(cfg.fov_y_deg), cfg.aspect, cfg.z_near, cfg.z_far)
+            if self.current_background_effect == 0:
+                d1, d2 = cfg.gradient_data1, cfg.gradient_data2
+            else:
+                d1, d2 = cfg.sky_data1, (0.0, 0.0, 0.0, 0.0)
+            self._params_static = FrameParams(
+                view=jnp.eye(4, dtype=jnp.float32),
+                proj=jnp.asarray(proj),
+                bg_effect=jnp.int32(self.current_background_effect),
+                bg_data1=jnp.asarray(d1, jnp.float32),
+                bg_data2=jnp.asarray(d2, jnp.float32),
+                ambient=jnp.asarray(cfg.ambient_color, jnp.float32),
+                sun_dir=jnp.asarray(cfg.sunlight_direction, jnp.float32),
+                sun_color=jnp.asarray(cfg.sunlight_color, jnp.float32),
+            )
+            self._params_cache_key = key
         view = self.camera.get_view_matrix()
-        if self.current_background_effect == 0:
-            d1, d2 = cfg.gradient_data1, cfg.gradient_data2
-        else:
-            d1, d2 = cfg.sky_data1, (0.0, 0.0, 0.0, 0.0)
-        return FrameParams(
-            view=jnp.asarray(view),
-            proj=jnp.asarray(proj),
-            bg_effect=jnp.int32(self.current_background_effect),
-            bg_data1=jnp.asarray(d1, jnp.float32),
-            bg_data2=jnp.asarray(d2, jnp.float32),
-            ambient=jnp.asarray(cfg.ambient_color, jnp.float32),
-            sun_dir=jnp.asarray(cfg.sunlight_direction, jnp.float32),
-            sun_color=jnp.asarray(cfg.sunlight_color, jnp.float32),
-        )
+        return self._params_static._replace(view=jnp.asarray(view))
 
     def update_scene(self) -> FrameParams:
         t0 = time.perf_counter()
@@ -116,41 +125,61 @@ class Engine:
         self.stats.scene_update_time = (time.perf_counter() - t0) * 1000.0
         return params
 
-    def draw(self, block: bool = True) -> np.ndarray:
-        """Render one frame; returns the (H, W, 4) uint8 image."""
-        params = self.update_scene()
+    def draw_device(self, params: Optional[FrameParams] = None):
+        """Render one frame, leaving the image on device (the swapchain
+        analog: presenting never copies to host in the reference either).
+        Returns (image device array, aux dict of device scalars)."""
+        if params is None:
+            params = self.update_scene()
         cfg = self.config
-        t0 = time.perf_counter()
         image, aux = render_frame(
             self.flat.buffers, params,
             width=cfg.width, height=cfg.height,
             tile_h=cfg.tile_h, tile_w=cfg.tile_w,
-            peels=4, fp16=cfg.framebuffer_fp16,
+            peels=self.peels, fp16=cfg.framebuffer_fp16,
+            transp_textured=self._transp_textured(),
             **self._caps,
         )
-        if block:
-            image.block_until_ready()
-        self.stats.mesh_draw_time = (time.perf_counter() - t0) * 1000.0
-        self._last_aux = aux
-        self._update_stats(aux)
         self.frame_number += 1
-        return np.asarray(image)
+        self._last_aux = aux
+        return image, aux
+
+    def draw(self, block: bool = True, with_stats: bool = True) -> np.ndarray:
+        """Render one frame; returns the (H, W, 4) uint8 image on host."""
+        t0 = time.perf_counter()
+        image, aux = self.draw_device()
+        out = np.asarray(image)
+        self.stats.mesh_draw_time = (time.perf_counter() - t0) * 1000.0
+        if with_stats:
+            self._update_stats(aux)
+        return out
 
     def _update_stats(self, aux) -> None:
+        import jax.numpy as jnp
+
         b = self.flat.buffers
         n_transp_draws = int(np.sum(~np.asarray(b.draw_opaque_mask)))
         n_transp_tris = int(np.sum(np.asarray(b.transp_tri_valid)))
-        tri = int(aux.get("opaque_triangles", 0)) + n_transp_tris
-        draws = int(aux.get("visible_opaque_draws", 0)) + n_transp_draws
-        self.stats.triangle_count = tri
-        self.stats.drawcall_count = draws
-        overflow = int(aux.get("bin_overflow", 0)) + int(
-            aux.get("bin_overflow_transparent", 0))
+        # one batched device->host transfer for all counters
+        keys = sorted(aux.keys())
+        vals = np.asarray(jnp.stack([aux[k].astype(jnp.int32) for k in keys])) \
+            if keys else np.zeros(0, np.int32)
+        a = dict(zip(keys, vals.tolist()))
+        self.stats.triangle_count = a.get("opaque_triangles", 0) + n_transp_tris
+        self.stats.drawcall_count = a.get("visible_opaque_draws", 0) + n_transp_draws
+        overflow = a.get("bin_overflow", 0) + a.get("bin_overflow_transparent", 0)
         if overflow:
             import logging
 
             logging.getLogger(__name__).warning(
                 "bin overflow: %d entries dropped — raise bin_cap", overflow)
+
+    def _transp_textured(self) -> bool:
+        """Static: does any transparent material bind a real texture?"""
+        from tpu_renderer.scene import TEX_WHITE
+
+        return any(m.transparent and m.tex != TEX_WHITE
+                   for m in self.scene.materials)
 
     # -- frame loop (vk_engine.cpp:1161-1203) --------------------------------
 

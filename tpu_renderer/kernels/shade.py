@@ -151,7 +151,8 @@ def sample_texture(atlas, base_x, base_y, w0, h0, n_levels, flags, uv):
     return ca * (1.0 - frac[..., None]) + cb * frac[..., None]
 
 
-def shade_core(t, shade_rows, atlas, ambient_rgb, sun_dir, sun_power):
+def shade_core(t, shade_rows, atlas, ambient_rgb, sun_dir, sun_power,
+               textured: bool = True):
     """mesh.frag for per-pixel triangle index t (clamped valid index; pixels
     whose t is a placeholder produce garbage the caller masks).
     Returns (H, W, 3) f32 linear rgb.
@@ -178,11 +179,15 @@ def shade_core(t, shade_rows, atlas, ambient_rgb, sun_dir, sun_power):
     color_in = interp[..., 3:6]
     uv = interp[..., 6:8]
 
-    tex_rgb = sample_texture(
-        atlas,
-        g[..., _C_TEX + 0], g[..., _C_TEX + 1],
-        g[..., _C_TEX + 2], g[..., _C_TEX + 3],
-        g[..., _C_TEX + 4], g[..., _C_TEX + 5], uv)
+    if textured:
+        tex_rgb = sample_texture(
+            atlas,
+            g[..., _C_TEX + 0], g[..., _C_TEX + 1],
+            g[..., _C_TEX + 2], g[..., _C_TEX + 3],
+            g[..., _C_TEX + 4], g[..., _C_TEX + 5], uv)
+    else:
+        # statically known: every referenced texture is 1px white
+        tex_rgb = jnp.ones((hp, wp, 3), jnp.float32)
 
     # mesh.frag:13 — light = max(dot(N, sunlight_direction.xyz), 0.1);
     # N is the interpolated model-rotated normal, NOT renormalized.
@@ -212,7 +217,8 @@ def shade(tid, shade_rows, atlas, ambient_rgb, sun_dir, sun_power, background):
     return jnp.concatenate([rgb, alpha[None]], axis=0)
 
 
-def blend_layer(fb, tid, shade_rows, atlas, ambient_rgb, sun_dir, sun_power):
+def blend_layer(fb, tid, shade_rows, atlas, ambient_rgb, sun_dir, sun_power,
+                textured: bool = True):
     """Transparent additive blend of one peeled layer into the framebuffer.
 
     Blend state from enable_blending_additive (vk_pipelines.cpp:157-167):
@@ -222,7 +228,8 @@ def blend_layer(fb, tid, shade_rows, atlas, ambient_rgb, sun_dir, sun_power):
     """
     found = tid >= 0
     t = jnp.where(found, tid, 0)
-    src = shade_core(t, shade_rows, atlas, ambient_rgb, sun_dir, sun_power)
+    src = shade_core(t, shade_rows, atlas, ambient_rgb, sun_dir, sun_power,
+                     textured=textured)
     src = jnp.moveaxis(src, -1, 0)
     dst_rgb = fb[:3]
     dst_a = fb[3]

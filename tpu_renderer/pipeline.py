@@ -72,15 +72,29 @@ class FrameParams(NamedTuple):
     sun_color: jax.Array  # (4,) f32 (.w = sun power, mesh.frag:18)
 
 
+def _bg_grad(d1, d2, hp: int, wp: int, height: int):
+    yy = jnp.arange(hp, dtype=jnp.float32)[None, :, None] / jnp.float32(height)
+    return d1[:, None, None] * (1.0 - yy) + d2[:, None, None] * yy \
+        + jnp.zeros((4, hp, wp), jnp.float32)
+
+
+def _bg_sky(d1, hp: int, wp: int, height: int):
+    yy = jnp.broadcast_to(jnp.arange(hp, dtype=jnp.float32)[:, None], (hp, wp))
+    xx = jnp.broadcast_to(jnp.arange(wp, dtype=jnp.float32)[None, :], (hp, wp))
+    cr, cg, cb = bg._sky_math(xx, yy, (d1[0], d1[1], d1[2], d1[3]), height)
+    return jnp.stack([cr, cg, cb, jnp.ones_like(cr)])
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "tile_h", "tile_w", "entry_cap",
-                     "bin_cap", "tri_cap", "peels", "fp16"),
+                     "bin_cap", "tri_cap", "peels", "fp16", "transp_textured"),
 )
 def render_frame(buffers: SceneBuffers, params: FrameParams, *,
                  width: int, height: int, tile_h: int = 32, tile_w: int = 128,
                  entry_cap: int = 1 << 15, bin_cap: int = 512,
-                 tri_cap: int = 1024, peels: int = 4, fp16: bool = True):
+                 tri_cap: int = 1024, peels: int = 4, fp16: bool = True,
+                 transp_textured: bool = True):
     """Render one frame. Returns ((H, W, 4) uint8 image, aux dict)."""
     wp, hp = pad_extent(width, height, tile_h, tile_w)
     tiles_x, tiles_y = wp // tile_w, hp // tile_h
@@ -94,14 +108,14 @@ def render_frame(buffers: SceneBuffers, params: FrameParams, *,
     viewproj = (params.proj @ params.view).astype(jnp.float32)
 
     # --- background compute pass (color attachment then LOADs, not clears:
-    # vk_initializers.cpp:125) ------------------------------------------------
+    # vk_initializers.cpp:125). The formulas are elementwise; XLA fuses them
+    # tighter than a dedicated kernel launch, so the hot path uses the jnp
+    # forms (the Pallas kernels in kernels/background.py are equivalent).
     fb = jax.lax.switch(
         jnp.clip(params.bg_effect, 0, 1),
         [
-            lambda d1, d2: bg.gradient(d1, d2, height=height, width_pad=wp,
-                                       height_pad=hp, tile_h=tile_h, tile_w=tile_w),
-            lambda d1, d2: bg.sky(d1, height=height, width_pad=wp,
-                                  height_pad=hp, tile_h=tile_h, tile_w=tile_w),
+            lambda d1, d2: _bg_grad(d1, d2, hp, wp, height),
+            lambda d1, d2: _bg_sky(d1, hp, wp, height),
         ],
         params.bg_data1, params.bg_data2,
     )
@@ -170,7 +184,8 @@ def render_frame(buffers: SceneBuffers, params: FrameParams, *,
                                         buffers.mat_meta)
         last = jnp.full((hp, wp), -1, jnp.int32)
         layers_found = jnp.zeros((), jnp.int32)
-        for _ in range(peels):
+
+        def one_peel(fb, last):
             layer = raster.rasterize_peel(
                 setup_t.packed, bins_t, counts_t, z, last,
                 tiles_x=tiles_x, tiles_y=tiles_y, tile_w=tile_w, tile_h=tile_h)
@@ -178,9 +193,21 @@ def render_frame(buffers: SceneBuffers, params: FrameParams, *,
             tid_layer = jnp.where(found, layer, -1)
             fb = q(shade.blend_layer(
                 fb, tid_layer, rows_t, buffers.atlas,
-                params.ambient[:3], params.sun_dir[:3], params.sun_color[3]))
+                params.ambient[:3], params.sun_dir[:3], params.sun_color[3],
+                textured=transp_textured))
             last = jnp.where(found, layer, raster.ID_INF)
-            layers_found += found.any().astype(jnp.int32)
+            return fb, last, found.any()
+
+        fb, last, any_found = one_peel(fb, last)
+        layers_found += any_found.astype(jnp.int32)
+        for _ in range(peels - 1):
+            # later layers are usually empty: skip them behind a conditional
+            fb, last, any_found = jax.lax.cond(
+                any_found,
+                lambda fb, last: one_peel(fb, last),
+                lambda fb, last: (fb, last, jnp.asarray(False)),
+                fb, last)
+            layers_found += any_found.astype(jnp.int32)
         aux["bin_overflow_transparent"] = overflow_t
         aux["transparent_layers"] = layers_found
 

@@ -71,7 +71,7 @@ def build_demo_glb(path: str, grid: int = 8, seed: int = 0,
     img_checker = b.add_image(checker_texture())
     img_grad = b.add_image(gradient_texture())
     img_noise = b.add_image(noise_texture())
-    smp = b.add_sampler(mag=9729, min_=9987)  # linear, trilinear
+    smp = b.add_sampler(mag=9729, min_=9985)  # linear, mip-nearest (one tap)
     tex_checker = b.add_texture(img_checker, smp)
     tex_grad = b.add_texture(img_grad, smp)
     tex_noise = b.add_texture(img_noise, smp)
