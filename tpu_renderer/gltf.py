@@ -177,6 +177,17 @@ def read_accessor(gltf: dict, buffers: _Buffers, accessor_idx: int) -> np.ndarra
         raw, stride, _ = buffers.view_bytes(acc["bufferView"])
         off = acc.get("byteOffset", 0)
         if stride and stride != elem_size:
+            # strided interleaved data: native C++ fast path when available
+            # (the fastgltf iterateAccessor analog), numpy fancy-index fallback
+            from tpu_renderer.utils import native
+
+            if acc["componentType"] != 5125 and (
+                    acc.get("normalized") or acc["componentType"] == 5126):
+                nat = native.decode_accessor_f32(
+                    raw[off:], count, n, acc["componentType"], stride,
+                    bool(acc.get("normalized")))
+                if nat is not None:
+                    return nat
             rows = np.frombuffer(raw, np.uint8)
             idx = off + stride * np.arange(count)[:, None] + np.arange(elem_size)[None, :]
             out = np.frombuffer(rows[idx].tobytes(), dtype).reshape(count, n)

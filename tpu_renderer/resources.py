@@ -64,7 +64,14 @@ def downsample_blit(img: np.ndarray) -> np.ndarray:
     half-size blit (vk_images.cpp:66-133): each destination pixel center maps
     to src coords (x+0.5)*scale - 0.5 and samples bilinearly. For even sizes
     this is an exact 2x2 box average.
+
+    Uses the native C++ path (native/assetlib.cpp) when available.
     """
+    from tpu_renderer.utils import native
+
+    out = native.downsample_blit_rgba8(img)
+    if out is not None:
+        return out
     h, w = img.shape[:2]
     nh, nw = max(h // 2, 1), max(w // 2, 1)
     src = img.astype(np.float32)
@@ -82,8 +89,8 @@ def downsample_blit(img: np.ndarray) -> np.ndarray:
         + src[np.ix_(y1, x0)] * fy * (1 - fx)
         + src[np.ix_(y1, x1)] * fy * fx
     )
-    # UNORM8 round-to-nearest per blit
-    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+    # UNORM8 round-to-nearest (half up, matching the native path) per blit
+    return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
 
 
 def mip_chain(img: np.ndarray, enabled: bool = True) -> List[np.ndarray]:
