@@ -51,3 +51,15 @@ def test_sky_has_stars_and_gradient():
     assert ((out[2] - grad_only) > 0.5).sum() > 0
     # alpha plane is 1
     np.testing.assert_allclose(out[3], 1.0)
+
+
+def test_grid_gradient_matches_formula():
+    # gradient.comp (compiled but not engine-loaded in the reference)
+    w, h = 256, 64
+    wp, hp = pad_extent(w, h, 32, 128)
+    out = background.grid_gradient(height=h, width=w, width_pad=wp, height_pad=hp)
+    ref = background.grid_gradient_reference(height=h, width=w)
+    np.testing.assert_allclose(np.asarray(out[:, :h, :w]), np.asarray(ref), atol=1e-6)
+    # gridlines at multiples of 16 are black
+    assert (np.asarray(out)[0, :h, 16] == 0).all()
+    assert (np.asarray(out)[1, 32, :w] == 0).all()

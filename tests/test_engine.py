@@ -75,3 +75,10 @@ def test_frame_timer():
         with t:
             pass
     assert t.mean_ms >= 0 and len(t.samples) == 3
+
+
+def test_hud_overlay(tmp_path):
+    eng = _engine(tmp_path)
+    img_plain = eng.draw()
+    img_hud = eng.draw(hud=True)
+    assert not np.array_equal(img_plain[:40, :150], img_hud[:40, :150])

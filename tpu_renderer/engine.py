@@ -144,14 +144,23 @@ class Engine:
         self._last_aux = aux
         return image, aux
 
-    def draw(self, block: bool = True, with_stats: bool = True) -> np.ndarray:
-        """Render one frame; returns the (H, W, 4) uint8 image on host."""
+    def draw(self, block: bool = True, with_stats: bool = True,
+             hud: bool = False) -> np.ndarray:
+        """Render one frame; returns the (H, W, 4) uint8 image on host.
+
+        hud=True burns the stats overlay into the frame (the ImGui window,
+        vk_engine.cpp:1175-1191)."""
         t0 = time.perf_counter()
         image, aux = self.draw_device()
         out = np.asarray(image)
         self.stats.mesh_draw_time = (time.perf_counter() - t0) * 1000.0
         if with_stats:
             self._update_stats(aux)
+        if hud:
+            from tpu_renderer.hud import draw_stats
+
+            out = out.copy()
+            draw_stats(out, self.stats)
         return out
 
     def _update_stats(self, aux) -> None:

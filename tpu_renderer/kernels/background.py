@@ -159,3 +159,50 @@ def sky_reference(data1, *, height: int, width: int):
     d = jnp.asarray(data1, jnp.float32)
     cr, cg, cb = _sky_math(xx, yy, (d[0], d[1], d[2], d[3]), height)
     return jnp.stack([cr, cg, cb, jnp.ones_like(cr)])
+
+
+# ---------------------------------------------------------------------------
+# gradient.comp — UV gradient with 16px workgroup gridlines (compiled by the
+# reference build but never loaded by the engine, vk_engine.cpp:935; kept for
+# completeness)
+# ---------------------------------------------------------------------------
+
+
+def _grid_kernel(out_ref, *, width: int, height: int, tile_h: int, tile_w: int):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    xx, yy = _pixel_coords(i, j, tile_h, tile_w)
+    # gradient.comp:20 — black where the 16x16 workgroup-local id is 0
+    lx = xx - jnp.floor(xx / 16.0) * 16.0
+    ly = yy - jnp.floor(yy / 16.0) * 16.0
+    on = (lx != 0.0) & (ly != 0.0)
+    out_ref[0, :, :] = jnp.where(on, xx / jnp.float32(width), 0.0)
+    out_ref[1, :, :] = jnp.where(on, yy / jnp.float32(height), 0.0)
+    out_ref[2, :, :] = jnp.zeros((tile_h, tile_w), jnp.float32)
+    out_ref[3, :, :] = jnp.ones((tile_h, tile_w), jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width", "width_pad", "height_pad", "tile_h", "tile_w"))
+def grid_gradient(*, height: int, width: int, width_pad: int, height_pad: int,
+                  tile_h: int = 32, tile_w: int = 128):
+    """Returns the (4, height_pad, width_pad) f32 planar background."""
+    grid = (height_pad // tile_h, width_pad // tile_w)
+    return pl.pallas_call(
+        functools.partial(_grid_kernel, width=width, height=height,
+                          tile_h=tile_h, tile_w=tile_w),
+        out_shape=jax.ShapeDtypeStruct((4, height_pad, width_pad), jnp.float32),
+        grid=grid,
+        out_specs=pl.BlockSpec((4, tile_h, tile_w), lambda i, j: (0, i, j),
+                               memory_space=pltpu.VMEM),
+        interpret=use_interpret(),
+    )()
+
+
+def grid_gradient_reference(*, height: int, width: int):
+    """jnp transcription of gradient.comp:11-28 (unit-test oracle)."""
+    yy = jnp.broadcast_to(jnp.arange(height, dtype=jnp.float32)[:, None], (height, width))
+    xx = jnp.broadcast_to(jnp.arange(width, dtype=jnp.float32)[None, :], (height, width))
+    on = (jnp.mod(xx, 16.0) != 0.0) & (jnp.mod(yy, 16.0) != 0.0)
+    r = jnp.where(on, xx / jnp.float32(width), 0.0)
+    g = jnp.where(on, yy / jnp.float32(height), 0.0)
+    return jnp.stack([r, g, jnp.zeros_like(r), jnp.ones_like(r)])
