@@ -154,3 +154,46 @@ def test_sky_background_behind_geometry():
     assert img[0, 0][2] < 60
     # triangle still drawn
     assert img[2, W // 2][2] > 150
+
+
+def test_fused_matches_deferred():
+    """The fused-raster path must match the gather-based deferred path
+    (within 1 u8 step: the interpolation divides in a different order)."""
+    tex = (np.indices((8, 8)).sum(0) % 2 * 200 + 30).astype(np.uint8)
+    img = np.stack([tex, tex // 2, 255 - tex, np.full_like(tex, 255)], -1)
+    scene = milestones.textured_quad_scene(img, nearest=False, mipmapped=True)
+    scene.colors = np.tile(np.array([1, 0.8, 0.6, 1], np.float32), (4, 1))
+    flat = flatten_scene(scene)
+    params = FrameParams(
+        view=I4, proj=I4, bg_effect=jnp.int32(0),
+        bg_data1=jnp.asarray([0.3, 0.3, 0.3, 1], jnp.float32),
+        bg_data2=jnp.asarray([0.3, 0.3, 0.3, 1], jnp.float32),
+        ambient=jnp.asarray([0.1, 0.1, 0.1, 0.1], jnp.float32),
+        sun_dir=jnp.asarray([0.2, 0.4, 0.9, 1], jnp.float32),
+        sun_color=jnp.ones(4, jnp.float32))
+    a, _ = render_frame(flat.buffers, params, width=W, height=H,
+                        entry_cap=4096, bin_cap=128, peels=2, fused=True)
+    b, _ = render_frame(flat.buffers, params, width=W, height=H,
+                        entry_cap=4096, bin_cap=128, peels=2, fused=False)
+    diff = np.abs(np.asarray(a).astype(int) - np.asarray(b).astype(int))
+    assert diff.max() <= 1, f"max u8 diff {diff.max()}"
+
+
+def test_fused_transparent_matches_deferred():
+    scene = milestones.colored_quad_scene(z0=0.5, z1=0.5)
+    scene.materials[-1].transparent = True
+    scene.colors = np.tile(np.array([0.25, 0.5, 0.125, 1], np.float32), (4, 1))
+    flat = flatten_scene(scene)
+    params = FrameParams(
+        view=I4, proj=I4, bg_effect=jnp.int32(0),
+        bg_data1=jnp.asarray([0.5, 0.25, 0.5, 1], jnp.float32),
+        bg_data2=jnp.asarray([0.5, 0.25, 0.5, 1], jnp.float32),
+        ambient=jnp.zeros(4, jnp.float32),
+        sun_dir=jnp.asarray([0, 0, 1, 1], jnp.float32),
+        sun_color=jnp.ones(4, jnp.float32))
+    a, _ = render_frame(flat.buffers, params, width=W, height=H,
+                        entry_cap=4096, bin_cap=128, peels=2, fused=True)
+    b, _ = render_frame(flat.buffers, params, width=W, height=H,
+                        entry_cap=4096, bin_cap=128, peels=2, fused=False)
+    diff = np.abs(np.asarray(a).astype(int) - np.asarray(b).astype(int))
+    assert diff.max() <= 1, f"max u8 diff {diff.max()}"

@@ -473,3 +473,227 @@ def rasterize_reference(packed, width: int, height: int):
                     z[y, x] = zv
                     tid[y, x] = t
     return z, tid
+
+
+# ---------------------------------------------------------------------------
+# Fused raster: visibility + attribute interpolation in one pass.
+# Eliminates the per-pixel fat-row gather of the deferred path: per-triangle
+# scalars are read once per (triangle, tile) instead of once per pixel.
+# Consumes the 48-col fat rows built by kernels/shade.build_shade_rows.
+# ---------------------------------------------------------------------------
+
+
+def _raster_fused_kernel(counts_ref, rows_ref, z_ref, tid_ref, attr_ref,
+                         meta_ref, *, tiles_x: int, tile_h: int, tile_w: int):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    tile = i * tiles_x + j
+    n = counts_ref[tile, 0]
+    X, Y = _tile_coords(i, j, tile_h, tile_w)
+
+    def tri_body(k4, carry):
+        z, tid, csum, nums, metas = carry
+        for u in range(_UNROLL):
+            k = k4 * _UNROLL + u
+            r = lambda col, _k=k: rows_ref[0, _k, col]  # noqa: E731
+            c0v = r(0) * X + r(1) * Y + r(2)
+            c1v = r(3) * X + r(4) * Y + r(5)
+            c2v = r(6) * X + r(7) * Y + r(8)
+            tl0 = (r(0) > 0.0) | ((r(0) == 0.0) & (r(1) > 0.0))
+            tl1 = (r(3) > 0.0) | ((r(3) == 0.0) & (r(4) > 0.0))
+            tl2 = (r(6) > 0.0) | ((r(6) == 0.0) & (r(7) > 0.0))
+            cov = (((c0v > 0.0) | ((c0v == 0.0) & tl0))
+                   & ((c1v > 0.0) | ((c1v == 0.0) & tl1))
+                   & ((c2v > 0.0) | ((c2v == 0.0) & tl2)))
+            zv = r(9) * X + r(10) * Y + r(11)
+            cov &= (zv >= 0.0) & (zv <= 1.0)
+            take = cov & (zv >= z) & (k < n)
+            z = jnp.where(take, zv, z)
+            tid = jnp.where(take, rows_ids_global(k), tid)
+            csum = jnp.where(take, c0v + c1v + c2v, csum)
+            new_nums = []
+            for a in range(8):
+                num = (c0v * r(13 + a) + c1v * r(21 + a) + c2v * r(29 + a))
+                new_nums.append(jnp.where(take, num, nums[a]))
+            nums = tuple(new_nums)
+            metas = tuple(
+                jnp.where(take, r(37 + m), metas[m]) for m in range(6))
+        return z, tid, csum, nums, metas
+
+    # ids are implicit: the caller stores the global tri id in column 47
+    def rows_ids_global(k):
+        return rows_ref[0, k, 47].astype(jnp.int32)
+
+    z0 = jnp.full((tile_h, tile_w), DEPTH_CLEAR, jnp.float32)
+    tid0 = jnp.full((tile_h, tile_w), NO_TRI, jnp.int32)
+    cs0 = jnp.ones((tile_h, tile_w), jnp.float32)
+    nums0 = tuple(jnp.zeros((tile_h, tile_w), jnp.float32) for _ in range(8))
+    metas0 = tuple(jnp.zeros((tile_h, tile_w), jnp.float32) for _ in range(6))
+    n4 = (n + _UNROLL - 1) // _UNROLL
+    z1, tid1, cs1, nums1, metas1 = jax.lax.fori_loop(
+        0, n4, tri_body, (z0, tid0, cs0, nums0, metas0))
+    z_ref[:, :] = z1
+    tid_ref[:, :] = tid1
+    inv = jnp.where(cs1 != 0.0, 1.0 / cs1, 0.0)
+    for a in range(8):
+        attr_ref[a, :, :] = nums1[a] * inv
+    for m in range(6):
+        meta_ref[m, :, :] = metas1[m]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tiles_x", "tiles_y", "tile_w", "tile_h"),
+)
+def rasterize_fused(fat_rows, bins, counts, *, tiles_x: int, tiles_y: int,
+                    tile_w: int, tile_h: int):
+    """Fused visibility + attribute raster.
+
+    fat_rows: (T, 48) f32 (kernels/shade fat-row layout; column 47 is free
+    and gets the global triangle id here).
+    Returns (z, tid, attrs (8,Hp,Wp) interpolated, meta (6,Hp,Wp)).
+    """
+    T = fat_rows.shape[0]
+    n_tiles, bin_cap = bins.shape
+    bin_cap_pad = cdiv(bin_cap, 8) * 8
+    if bin_cap_pad != bin_cap:
+        bins = jnp.pad(bins, ((0, 0), (0, bin_cap_pad - bin_cap)), constant_values=NO_TRI)
+        bin_cap = bin_cap_pad
+
+    fat_rows = fat_rows.at[:, 47].set(
+        jnp.arange(T, dtype=jnp.int32).astype(jnp.float32))
+    safe = jnp.clip(bins, 0, T - 1)
+    rows = fat_rows[safe]
+    # dead slots: make ids harmless (they are masked by counts anyway)
+
+    hp = tiles_y * tile_h
+    wp = tiles_x * tile_w
+
+    z, tid, attrs, meta = pl.pallas_call(
+        functools.partial(_raster_fused_kernel, tiles_x=tiles_x,
+                          tile_h=tile_h, tile_w=tile_w),
+        out_shape=(
+            jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((hp, wp), jnp.int32),
+            jax.ShapeDtypeStruct((8, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((6, hp, wp), jnp.float32),
+        ),
+        grid=(tiles_y, tiles_x),
+        in_specs=[
+            pl.BlockSpec((n_tiles, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, bin_cap, 48),
+                         lambda i, j, _tx=tiles_x: (i * _tx + j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tile_h, tile_w), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, tile_h, tile_w), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
+        ),
+        interpret=use_interpret(),
+    )(counts.reshape(n_tiles, 1), rows)
+    return z, tid, attrs, meta
+
+
+def _peel_fused_kernel(counts_ref, rows_ref, zbase_ref, last_ref,
+                       tid_ref, attr_ref, meta_ref, *,
+                       tiles_x: int, tile_h: int, tile_w: int):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    tile = i * tiles_x + j
+    n = counts_ref[tile, 0]
+    X, Y = _tile_coords(i, j, tile_h, tile_w)
+    zbase = zbase_ref[:, :]
+    last = last_ref[:, :]
+
+    def tri_body(k4, carry):
+        best, csum, nums, metas = carry
+        for u in range(_UNROLL):
+            k = k4 * _UNROLL + u
+            r = lambda col, _k=k: rows_ref[0, _k, col]  # noqa: E731
+            idx = r(47).astype(jnp.int32)
+            c0v = r(0) * X + r(1) * Y + r(2)
+            c1v = r(3) * X + r(4) * Y + r(5)
+            c2v = r(6) * X + r(7) * Y + r(8)
+            tl0 = (r(0) > 0.0) | ((r(0) == 0.0) & (r(1) > 0.0))
+            tl1 = (r(3) > 0.0) | ((r(3) == 0.0) & (r(4) > 0.0))
+            tl2 = (r(6) > 0.0) | ((r(6) == 0.0) & (r(7) > 0.0))
+            cov = (((c0v > 0.0) | ((c0v == 0.0) & tl0))
+                   & ((c1v > 0.0) | ((c1v == 0.0) & tl1))
+                   & ((c2v > 0.0) | ((c2v == 0.0) & tl2)))
+            zv = r(9) * X + r(10) * Y + r(11)
+            cov &= (zv >= 0.0) & (zv <= 1.0)
+            take = cov & (zv >= zbase) & (idx > last) & (idx < best) & (k < n)
+            best = jnp.where(take, idx, best)
+            csum = jnp.where(take, c0v + c1v + c2v, csum)
+            new_nums = []
+            for a in range(8):
+                num = (c0v * r(13 + a) + c1v * r(21 + a) + c2v * r(29 + a))
+                new_nums.append(jnp.where(take, num, nums[a]))
+            nums = tuple(new_nums)
+            metas = tuple(
+                jnp.where(take, r(37 + m), metas[m]) for m in range(6))
+        return best, csum, nums, metas
+
+    best0 = jnp.full((tile_h, tile_w), ID_INF, jnp.int32)
+    cs0 = jnp.ones((tile_h, tile_w), jnp.float32)
+    nums0 = tuple(jnp.zeros((tile_h, tile_w), jnp.float32) for _ in range(8))
+    metas0 = tuple(jnp.zeros((tile_h, tile_w), jnp.float32) for _ in range(6))
+    n4 = (n + _UNROLL - 1) // _UNROLL
+    best1, cs1, nums1, metas1 = jax.lax.fori_loop(
+        0, n4, tri_body, (best0, cs0, nums0, metas0))
+    tid_ref[:, :] = best1
+    inv = jnp.where(cs1 != 0.0, 1.0 / cs1, 0.0)
+    for a in range(8):
+        attr_ref[a, :, :] = nums1[a] * inv
+    for m in range(6):
+        meta_ref[m, :, :] = metas1[m]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tiles_x", "tiles_y", "tile_w", "tile_h"),
+)
+def rasterize_peel_fused(fat_rows, bins, counts, z_base, last_id, *,
+                         tiles_x: int, tiles_y: int, tile_w: int, tile_h: int):
+    """Fused transparency peel: layer selection + its interpolated attrs."""
+    T = fat_rows.shape[0]
+    n_tiles, bin_cap = bins.shape
+    bin_cap_pad = cdiv(bin_cap, 8) * 8
+    if bin_cap_pad != bin_cap:
+        bins = jnp.pad(bins, ((0, 0), (0, bin_cap_pad - bin_cap)), constant_values=NO_TRI)
+        bin_cap = bin_cap_pad
+
+    fat_rows = fat_rows.at[:, 47].set(
+        jnp.arange(T, dtype=jnp.int32).astype(jnp.float32))
+    safe = jnp.clip(bins, 0, T - 1)
+    rows = fat_rows[safe]
+
+    hp = tiles_y * tile_h
+    wp = tiles_x * tile_w
+
+    return pl.pallas_call(
+        functools.partial(_peel_fused_kernel, tiles_x=tiles_x,
+                          tile_h=tile_h, tile_w=tile_w),
+        out_shape=(
+            jax.ShapeDtypeStruct((hp, wp), jnp.int32),
+            jax.ShapeDtypeStruct((8, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((6, hp, wp), jnp.float32),
+        ),
+        grid=(tiles_y, tiles_x),
+        in_specs=[
+            pl.BlockSpec((n_tiles, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, bin_cap, 48),
+                         lambda i, j, _tx=tiles_x: (i * _tx + j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tile_h, tile_w), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, tile_h, tile_w), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
+        ),
+        interpret=use_interpret(),
+    )(counts.reshape(n_tiles, 1), rows, z_base, last_id)

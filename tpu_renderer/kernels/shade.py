@@ -27,12 +27,16 @@ from tpu_renderer.resources import (
     FILTER_MIP_LINEAR,
 )
 
-# shade-row layout (48 f32 per triangle)
-_C_EDGE = 0     # 9: edge planes (barycentric numerators)
-_C_MAT = 9      # 1: material id
-_C_ATTR = 10    # 24: per-corner normal(3) color(3) uv(2), corner-major
-_C_TEX = 34     # 6: base_x, base_y, w0, h0, n_levels, filter_flags
+# fat-row layout (48 f32 per triangle): everything the fused raster kernel
+# and the deferred shade need about a triangle, in one gatherable row
+C_EDGE = 0     # 9: edge planes (barycentric numerators)
+C_Z = 9        # 3: affine depth plane
+C_MAT = 12     # 1: material id
+C_ATTR = 13    # 24: per-corner normal(3) color(3) uv(2), corner-major
+C_TEX = 37     # 6: base_x, base_y, w0, h0, n_levels, filter_flags
 SHADE_COLS = 48
+_C_ATTR = C_ATTR
+_C_TEX = C_TEX
 
 
 def build_shade_rows(packed, attrs, mat_meta):
@@ -46,11 +50,11 @@ def build_shade_rows(packed, attrs, mat_meta):
     meta = mat_meta[jnp.clip(mat, 0, mat_meta.shape[0] - 1)]  # (T, 8)
     return jnp.concatenate(
         [
-            packed[:, 0:9],
+            packed[:, 0:12],
             packed[:, 13:14],
             attrs.reshape(T, 24),
             meta[:, :6],
-            jnp.zeros((T, 8), jnp.float32),
+            jnp.zeros((T, 5), jnp.float32),
         ],
         axis=1,
     )
@@ -151,6 +155,46 @@ def sample_texture(atlas, base_x, base_y, w0, h0, n_levels, flags, uv):
     return ca * (1.0 - frac[..., None]) + cb * frac[..., None]
 
 
+def light_and_texture(normal, color_in, uv, texmeta, atlas, ambient_rgb,
+                      sun_dir, sun_power, textured: bool = True):
+    """mesh.frag:12-19 given already-interpolated attributes.
+
+    texmeta: (..., 6) [base_x, base_y, w0, h0, n_levels, filter_flags].
+    """
+    hp, wp = normal.shape[:2]
+    if textured:
+        tex_rgb = sample_texture(
+            atlas, texmeta[..., 0], texmeta[..., 1], texmeta[..., 2],
+            texmeta[..., 3], texmeta[..., 4], texmeta[..., 5], uv)
+    else:
+        tex_rgb = jnp.ones((hp, wp, 3), jnp.float32)
+    # mesh.frag:13 — light = max(dot(N, sunlight_direction.xyz), 0.1);
+    # N is the interpolated model-rotated normal, NOT renormalized.
+    light = jnp.maximum(
+        normal[..., 0] * sun_dir[0] + normal[..., 1] * sun_dir[1]
+        + normal[..., 2] * sun_dir[2],
+        jnp.float32(0.1),
+    )
+    # mesh.frag:15-18
+    color = color_in * tex_rgb
+    return color * (light * sun_power)[..., None] + color * ambient_rgb[None, None, :]
+
+
+def shade_fused(attrs, meta, atlas, ambient_rgb, sun_dir, sun_power,
+                textured: bool = True):
+    """Shade from the fused raster outputs (no per-pixel row gather).
+
+    attrs: (8, Hp, Wp) interpolated normal/rgb/uv planes;
+    meta: (6, Hp, Wp) texture metadata planes.
+    Returns (Hp, Wp, 3) rgb.
+    """
+    a = jnp.moveaxis(attrs, 0, -1)
+    m = jnp.moveaxis(meta, 0, -1)
+    return light_and_texture(a[..., 0:3], a[..., 3:6], a[..., 6:8], m,
+                             atlas, ambient_rgb, sun_dir, sun_power,
+                             textured=textured)
+
+
 def shade_core(t, shade_rows, atlas, ambient_rgb, sun_dir, sun_power,
                textured: bool = True):
     """mesh.frag for per-pixel triangle index t (clamped valid index; pixels
@@ -179,26 +223,9 @@ def shade_core(t, shade_rows, atlas, ambient_rgb, sun_dir, sun_power,
     color_in = interp[..., 3:6]
     uv = interp[..., 6:8]
 
-    if textured:
-        tex_rgb = sample_texture(
-            atlas,
-            g[..., _C_TEX + 0], g[..., _C_TEX + 1],
-            g[..., _C_TEX + 2], g[..., _C_TEX + 3],
-            g[..., _C_TEX + 4], g[..., _C_TEX + 5], uv)
-    else:
-        # statically known: every referenced texture is 1px white
-        tex_rgb = jnp.ones((hp, wp, 3), jnp.float32)
-
-    # mesh.frag:13 — light = max(dot(N, sunlight_direction.xyz), 0.1);
-    # N is the interpolated model-rotated normal, NOT renormalized.
-    light = jnp.maximum(
-        normal[..., 0] * sun_dir[0] + normal[..., 1] * sun_dir[1]
-        + normal[..., 2] * sun_dir[2],
-        jnp.float32(0.1),
-    )
-    # mesh.frag:15-18
-    color = color_in * tex_rgb
-    return color * (light * sun_power)[..., None] + color * ambient_rgb[None, None, :]
+    return light_and_texture(normal, color_in, uv, g[..., C_TEX:C_TEX + 6],
+                             atlas, ambient_rgb, sun_dir, sun_power,
+                             textured=textured)
 
 
 def shade(tid, shade_rows, atlas, ambient_rgb, sun_dir, sun_power, background):

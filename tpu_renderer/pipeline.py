@@ -88,13 +88,14 @@ def _bg_sky(d1, hp: int, wp: int, height: int):
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "tile_h", "tile_w", "entry_cap",
-                     "bin_cap", "tri_cap", "peels", "fp16", "transp_textured"),
+                     "bin_cap", "tri_cap", "peels", "fp16", "transp_textured",
+                     "fused"),
 )
 def render_frame(buffers: SceneBuffers, params: FrameParams, *,
                  width: int, height: int, tile_h: int = 32, tile_w: int = 128,
                  entry_cap: int = 1 << 15, bin_cap: int = 512,
                  tri_cap: int = 1024, peels: int = 4, fp16: bool = True,
-                 transp_textured: bool = True):
+                 transp_textured: bool = True, fused: bool = True):
     """Render one frame. Returns ((H, W, 4) uint8 image, aux dict)."""
     wp, hp = pad_extent(width, height, tile_h, tile_w)
     tiles_x, tiles_y = wp // tile_w, hp // tile_h
@@ -152,13 +153,27 @@ def render_frame(buffers: SceneBuffers, params: FrameParams, *,
             cbins, setup.aabb, tiles_x=tiles_x, tiles_y=tiles_y,
             tile_w=tile_w, tile_h=tile_h, tri_cap=tri_cap)
         overflow = overflow_c + overflow_t
-        z, tid = raster.rasterize(
-            setup.packed, bins, counts,
-            tiles_x=tiles_x, tiles_y=tiles_y, tile_w=tile_w, tile_h=tile_h)
         rows = shade.build_shade_rows(setup.packed, setup.attrs, buffers.mat_meta)
-        fb = q(shade.shade(
-            tid, rows, buffers.atlas, params.ambient[:3],
-            params.sun_dir[:3], params.sun_color[3], fb))
+        if fused:
+            # fused raster: attributes interpolate inside the kernel; no
+            # per-pixel row gather at all
+            z, tid, attrs_px, meta_px = raster.rasterize_fused(
+                rows, bins, counts,
+                tiles_x=tiles_x, tiles_y=tiles_y, tile_w=tile_w, tile_h=tile_h)
+            valid = tid >= 0
+            shaded = shade.shade_fused(
+                attrs_px, meta_px, buffers.atlas, params.ambient[:3],
+                params.sun_dir[:3], params.sun_color[3])
+            rgb = jnp.where(valid[None], jnp.moveaxis(shaded, -1, 0), fb[:3])
+            alpha = jnp.where(valid, jnp.float32(1.0), fb[3])
+            fb = q(jnp.concatenate([rgb, alpha[None]], axis=0))
+        else:
+            z, tid = raster.rasterize(
+                setup.packed, bins, counts,
+                tiles_x=tiles_x, tiles_y=tiles_y, tile_w=tile_w, tile_h=tile_h)
+            fb = q(shade.shade(
+                tid, rows, buffers.atlas, params.ambient[:3],
+                params.sun_dir[:3], params.sun_color[3], fb))
         aux["bin_overflow"] = overflow
         aux["opaque_triangles"] = jnp.sum(
             (setup.valid).astype(jnp.int32))
@@ -186,15 +201,31 @@ def render_frame(buffers: SceneBuffers, params: FrameParams, *,
         layers_found = jnp.zeros((), jnp.int32)
 
         def one_peel(fb, last):
-            layer = raster.rasterize_peel(
-                setup_t.packed, bins_t, counts_t, z, last,
-                tiles_x=tiles_x, tiles_y=tiles_y, tile_w=tile_w, tile_h=tile_h)
-            found = layer < raster.ID_INF
-            tid_layer = jnp.where(found, layer, -1)
-            fb = q(shade.blend_layer(
-                fb, tid_layer, rows_t, buffers.atlas,
-                params.ambient[:3], params.sun_dir[:3], params.sun_color[3],
-                textured=transp_textured))
+            if fused:
+                layer, attrs_px, meta_px = raster.rasterize_peel_fused(
+                    rows_t, bins_t, counts_t, z, last,
+                    tiles_x=tiles_x, tiles_y=tiles_y,
+                    tile_w=tile_w, tile_h=tile_h)
+                found = layer < raster.ID_INF
+                src = shade.shade_fused(
+                    attrs_px, meta_px, buffers.atlas, params.ambient[:3],
+                    params.sun_dir[:3], params.sun_color[3],
+                    textured=transp_textured)
+                src = jnp.moveaxis(src, -1, 0)
+                # additive blend (vk_pipelines.cpp:157-167)
+                rgb = jnp.where(found[None], src + fb[:3] * fb[3][None], fb[:3])
+                alpha = jnp.where(found, jnp.float32(1.0), fb[3])
+                fb = q(jnp.concatenate([rgb, alpha[None]], axis=0))
+            else:
+                layer = raster.rasterize_peel(
+                    setup_t.packed, bins_t, counts_t, z, last,
+                    tiles_x=tiles_x, tiles_y=tiles_y, tile_w=tile_w, tile_h=tile_h)
+                found = layer < raster.ID_INF
+                tid_layer = jnp.where(found, layer, -1)
+                fb = q(shade.blend_layer(
+                    fb, tid_layer, rows_t, buffers.atlas,
+                    params.ambient[:3], params.sun_dir[:3], params.sun_color[3],
+                    textured=transp_textured))
             last = jnp.where(found, layer, raster.ID_INF)
             return fb, last, found.any()
 
@@ -213,3 +244,29 @@ def render_frame(buffers: SceneBuffers, params: FrameParams, *,
 
     image = to_u8_image(fb, width=width, height=height)
     return image, aux
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "tile_h", "tile_w", "entry_cap",
+                     "bin_cap", "tri_cap", "peels", "fp16", "transp_textured"),
+)
+def render_frames(buffers: SceneBuffers, params_batch: FrameParams, **kw):
+    """Render a whole batch of frames in ONE device program (lax.scan) —
+    the deep-pipelining analog of the reference's FRAME_OVERLAP in-flight
+    frames (vk_engine.h:77), minus any host round trips between frames.
+
+    params_batch: FrameParams with a leading frame axis on every leaf.
+    Returns (last frame image, (F,) per-frame checksums).
+    """
+
+    def step(_, p):
+        img, _aux = render_frame(buffers, p, **kw)
+        checksum = img[::191, ::127, 0].astype(jnp.int32).sum()
+        return img, checksum
+
+    n = params_batch.view.shape[0]
+    hp = -(-kw["height"] // kw.get("tile_h", 32)) * kw.get("tile_h", 32)
+    init = jnp.zeros((kw["height"], kw["width"], 4), jnp.uint8)
+    last, sums = jax.lax.scan(step, init, params_batch)
+    return last, sums
