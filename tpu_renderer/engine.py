@@ -181,7 +181,21 @@ class Engine:
             import logging
 
             logging.getLogger(__name__).warning(
-                "bin overflow: %d entries dropped — raise bin_cap", overflow)
+                "bin overflow: %d entries dropped — escalating caps "
+                "(re-jits on the next frame)", overflow)
+            self._escalate_caps()
+
+    def _escalate_caps(self) -> None:
+        """Dense-scene fallback: double the binning capacities (bounded).
+        The next frame re-jits with the larger static shapes; the analog of
+        the reference's growable descriptor pools (vk_descriptors.cpp:70-170).
+        """
+        c = self._caps
+        self._caps = dict(
+            entry_cap=min(c["entry_cap"] * 2, 1 << 20),
+            bin_cap=min(c["bin_cap"] * 2, 4096),
+            tri_cap=min(c["tri_cap"] * 2, 8192),
+        )
 
     def _transp_textured(self) -> bool:
         """Static: does any transparent material bind a real texture?"""

@@ -5,22 +5,26 @@ depth clear 0.0 at vk_initializers.cpp:144).
 
 Architecture (blockwise over pixels — the TPU answer to SIMT scanline HW):
 
-1. Triangles are grouped into *chunks* of 64 consecutive triangles
-   (submission order, so depth-tie semantics survive). glTF index buffers are
-   spatially coherent, so chunk AABBs stay tight.
+1. Triangles are grouped into *chunks* of CHUNK consecutive triangles
+   (submission order, so depth-tie semantics survive). glTF index buffers
+   are spatially coherent, so chunk AABBs stay tight.
 2. ``bin_triangles`` (XLA) bins chunk AABBs to framebuffer tiles — a
    cumsum/searchsorted expansion + one small ``lax.sort`` (a few thousand
    entries instead of per-triangle millions).
-3. ``rasterize`` (Pallas): one grid step per (tile_h, tile_w) framebuffer
-   tile. The whole packed setup table lives in VMEM; the kernel walks its
-   chunk list with a dynamic fori_loop, and for each of the 64 triangles does
-   a *scalar* AABB-vs-tile pretest before spending VPU work on the three edge
-   functions + depth plane over the tile. Everything stays in registers —
-   no gather, no scatter, no HBM traffic beyond the one setup table fetch.
+3. ``refine_bins`` (XLA) tightens chunk bins to per-TRIANGLE per-tile lists:
+   packed tile-coordinate AABB tests (one u32 row gather per candidate) and
+   row-wise-sort compaction — both chosen for TPU's per-index gather cost.
+4. The Pallas kernels: one grid step per (tile_h, tile_w) framebuffer tile;
+   a dynamic fori_loop walks the tile's triangle list, reading per-triangle
+   scalars from the tile's gathered row block (dynamic-sublane loads) and
+   evaluating edge/depth planes over the whole tile on the VPU.
 
-The output is a *visibility buffer*: per-pixel (tri_id, z). Shading is
-deferred (kernels/shade.py) so the raster loop carries only 2 registers of
-state per pixel.
+Two kernel families:
+* ``rasterize``/``rasterize_peel`` — visibility only (per-pixel tri_id + z);
+  shading then gathers one fat row per pixel (kernels/shade.shade).
+* ``rasterize_fused``/``rasterize_peel_fused`` — visibility + perspective-
+  correct attribute interpolation fused into the loop, so shading needs no
+  per-pixel row gather at all (the default production path).
 """
 
 from __future__ import annotations
