@@ -106,7 +106,7 @@ def test_opaque_sort_and_transparent_split():
     assert opaque_mats == sorted(opaque_mats)  # material-sorted
     assert flat.objects[-1].transparent
     # buffers padded to chunk multiples
-    assert flat.buffers.opaque_tri_vidx.shape[0] % 16 == 0
+    from tpu_renderer.kernels import raster as _r; assert flat.buffers.opaque_tri_vidx.shape[0] % _r.CHUNK == 0
     assert int(np.sum(np.asarray(flat.buffers.opaque_tri_valid))) == 2
     assert int(np.sum(np.asarray(flat.buffers.transp_tri_valid))) == 1
 

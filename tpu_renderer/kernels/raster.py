@@ -221,7 +221,8 @@ def refine_bins(chunk_bins, aabb, *, tiles_x: int, tiles_y: int,
            & (ctx0 <= ctx1))
 
     full_counts = jnp.sum(hit.astype(jnp.int32), axis=1)
-    counts = jnp.minimum(full_counts, tri_cap)
+    eff_cap = min(tri_cap, ncand)  # can't hold more than the candidate set
+    counts = jnp.minimum(full_counts, eff_cap)
 
     # Compaction by ROW-WISE sort (vectorizes across tiles — unlike a global
     # 1D sort, and unlike per-(tile,slot) gather chains, this is pure vector
@@ -231,8 +232,8 @@ def refine_bins(chunk_bins, aabb, *, tiles_x: int, tiles_y: int,
     key = jnp.where(hit, slot, ncand + slot)
     _, tri_sorted = jax.lax.sort((key, tri), dimension=1, num_keys=1)
 
-    in_bin = jnp.arange(tri_cap, dtype=jnp.int32)[None, :] < counts[:, None]
-    tri_bins = jnp.where(in_bin, tri_sorted[:, :tri_cap], NO_TRI)
+    in_bin = jnp.arange(eff_cap, dtype=jnp.int32)[None, :] < counts[:, None]
+    tri_bins = jnp.where(in_bin, tri_sorted[:, :eff_cap], NO_TRI)
     overflow = jnp.sum(full_counts - counts)
     return tri_bins, counts, overflow
 
