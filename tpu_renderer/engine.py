@@ -81,7 +81,7 @@ class Engine:
         hp = -(-cfg.height // cfg.tile_h) * cfg.tile_h
         n_tiles = (wp // cfg.tile_w) * (hp // cfg.tile_h)
         # every chunk could touch ~a few tiles; cap generously, power of two
-        entry_cap = 1 << max(12, min(18, int(np.ceil(np.log2(16 * n_chunks + n_tiles)))))
+        entry_cap = 1 << max(12, min(18, int(np.ceil(np.log2(4 * n_chunks + n_tiles)))))
         # per-tile chunk-slot capacity; candidate table is n_tiles*bin_cap*CHUNK
         bin_cap = int(min(max(64, n_chunks), 512))
         tri_cap = 1024

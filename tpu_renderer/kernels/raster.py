@@ -201,12 +201,13 @@ def refine_bins(chunk_bins, aabb, *, tiles_x: int, tiles_y: int,
     tri = tri.reshape(n_tiles, ncand)
     slot_ok = jnp.repeat(chunk_bins >= 0, CHUNK, axis=1)
 
-    # One flat gather per candidate: per-triangle TILE-coordinate AABBs
-    # packed into a single u32 (gathers cost ~cycles/element on TPU, so one
-    # packed word beats four floats 4x).
+    # One ROW gather per chunk slot (gathers cost ~tens of ns per index
+    # regardless of width, so fetching all CHUNK packed tile-AABB words of a
+    # chunk in one row beats per-candidate element gathers CHUNKx).
     packed_tc = _pack_tile_aabb(aabb, tiles_x, tiles_y, tile_w, tile_h)
-    flat_tri = jnp.clip(tri, 0, T - 1).reshape(-1)
-    cand = packed_tc[flat_tri].reshape(n_tiles, ncand)
+    chunk_rows = packed_tc.reshape(-1, CHUNK)          # (T/CHUNK, CHUNK)
+    safe_chunks = jnp.clip(chunk_bins, 0, chunk_rows.shape[0] - 1)
+    cand = chunk_rows[safe_chunks].reshape(n_tiles, ncand)
 
     tile_id = jnp.arange(n_tiles, dtype=jnp.int32)
     tx = tile_id % tiles_x

@@ -19,10 +19,16 @@ import numpy as np
 
 @functools.partial(jax.jit, static_argnames=("width", "height"))
 def to_u8_image(fb, *, width: int, height: int):
-    """(4, Hp, Wp) float framebuffer -> (H, W, 4) uint8 RGBA."""
+    """(4, Hp, Wp) float framebuffer -> (H, W, 4) uint8 RGBA.
+
+    The planar->interleaved conversion is done by packing the four channels
+    into one u32 plane (pure elementwise shifts) and bitcasting — a real
+    transpose of the 8 MB image costs ~10 ms on TPU, this costs ~0.
+    """
     crop = fb[:, :height, :width].astype(jnp.float32)
-    u8 = jnp.clip(jnp.round(crop * 255.0), 0.0, 255.0).astype(jnp.uint8)
-    return jnp.moveaxis(u8, 0, -1)
+    q = jnp.clip(jnp.round(crop * 255.0), 0.0, 255.0).astype(jnp.uint32)
+    packed = q[0] | (q[1] << 8) | (q[2] << 16) | (q[3] << 24)
+    return jax.lax.bitcast_convert_type(packed, jnp.uint8)  # (H, W, 4) LE
 
 
 def save_png(image_u8: np.ndarray, path: str) -> None:
