@@ -82,3 +82,22 @@ def test_hud_overlay(tmp_path):
     img_plain = eng.draw()
     img_hud = eng.draw(hud=True)
     assert not np.array_equal(img_plain[:40, :150], img_hud[:40, :150])
+
+
+def test_animated_node_transforms(tmp_path):
+    """Per-frame node animation: the analog of the reference's every-frame
+    scene re-flatten (update_scene, vk_engine.cpp:1487-1490 rotate path)."""
+    from tpu_renderer import math3d
+
+    eng = _engine(tmp_path)
+    img0 = eng.draw()
+    # move every cube node (note the reference's refresh_transform quirk:
+    # rotating only a PARENT node has no effect on children — parity kept)
+    for name, node in eng.scene.node_by_name.items():
+        if name.startswith("cube_"):
+            node.local_transform = (
+                math3d.translate((0, 1.5, 0)) @ node.local_transform)
+            node.refresh_transform(np.eye(4, dtype=np.float32))
+    eng.update_scene(refresh_transforms=True)
+    img1 = eng.draw()
+    assert not np.array_equal(img0, img1)

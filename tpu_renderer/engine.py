@@ -118,9 +118,14 @@ class Engine:
         view = self.camera.get_view_matrix()
         return self._params_static._replace(view=jnp.asarray(view))
 
-    def update_scene(self) -> FrameParams:
+    def update_scene(self, top_matrix=None,
+                     refresh_transforms: bool = False) -> FrameParams:
         t0 = time.perf_counter()
         self.camera.update()
+        if refresh_transforms or top_matrix is not None:
+            # animated nodes: re-collect node matrices (the reference
+            # re-emits the whole draw list per frame, vk_engine.cpp:1479-1512)
+            self.flat.refresh_transforms(self.scene, top_matrix)
         params = self.frame_params()
         self.stats.scene_update_time = (time.perf_counter() - t0) * 1000.0
         return params

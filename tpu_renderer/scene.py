@@ -110,7 +110,7 @@ class MeshNode(Node):
     def draw(self, top_matrix: np.ndarray, ctx: "DrawContext") -> None:
         # vk_engine.cpp:1717 — node_matrix = world_transform * top_matrix
         node_matrix = (self.world_transform @ top_matrix).astype(np.float32)
-        ctx.emit(self.mesh_index, node_matrix)
+        ctx.emit(self.mesh_index, node_matrix, node=self)
         super().draw(top_matrix, ctx)
 
 
@@ -123,6 +123,7 @@ class RenderObject:
     material: int
     transform: np.ndarray
     transparent: bool
+    node: Optional["Node"] = None
 
 
 class DrawContext:
@@ -133,7 +134,8 @@ class DrawContext:
         self.opaque_surfaces: List[RenderObject] = []
         self.transparent_surfaces: List[RenderObject] = []
 
-    def emit(self, mesh_index: int, node_matrix: np.ndarray) -> None:
+    def emit(self, mesh_index: int, node_matrix: np.ndarray,
+             node: Optional["Node"] = None) -> None:
         mesh = self.scene.meshes[mesh_index]
         for si, s in enumerate(mesh.surfaces):
             obj = RenderObject(
@@ -142,6 +144,7 @@ class DrawContext:
                 material=s.material,
                 transform=node_matrix,
                 transparent=self.scene.materials[s.material].transparent,
+                node=node,
             )
             if obj.transparent:
                 self.transparent_surfaces.append(obj)
@@ -312,6 +315,24 @@ class FlattenedDrawList:
     objects: List[RenderObject]          # opaque (sorted) then transparent
     n_opaque: int
     buffers: SceneBuffers
+    # (node, surface) behind each draw slot, for per-frame matrix refresh
+    draw_sources: Optional[List] = None
+
+    def refresh_transforms(self, scene: "LoadedScene",
+                           top_matrix: Optional[np.ndarray] = None) -> None:
+        """Per-frame transform update — the cheap analog of the reference's
+        every-frame scene re-flatten (update_scene vk_engine.cpp:1479-1512).
+        Node local_transform edits (+ refresh_transform on roots) are picked
+        up here; the draw-list STRUCTURE (which surfaces exist, sort order)
+        stays fixed, exactly like a scene whose graph topology is static.
+        """
+        if top_matrix is None:
+            top_matrix = np.eye(4, dtype=np.float32)
+        mats = np.stack([
+            (node.world_transform @ top_matrix).astype(np.float32)
+            for node, _si in self.draw_sources
+        ]) if self.draw_sources else np.zeros((0, 4, 4), np.float32)
+        self.buffers = self.buffers._replace(draw_model=jnp.asarray(mats))
 
 
 def _pad_tris(vidx, draw, n):
@@ -415,4 +436,6 @@ def flatten_scene(scene: LoadedScene, top_matrix: Optional[np.ndarray] = None,
         mat_meta=jnp.asarray(mat_meta),
         atlas=atlas,
     )
-    return FlattenedDrawList(objects=objects, n_opaque=n_opaque, buffers=buffers)
+    return FlattenedDrawList(
+        objects=objects, n_opaque=n_opaque, buffers=buffers,
+        draw_sources=[(o.node, o.surface_index) for o in objects])
