@@ -1,0 +1,54 @@
+"""Regenerate the golden PNGs for tests/test_goldens.py (CPU backend).
+
+Run after an INTENTIONAL rendering-semantics change:
+    python tests/regen_goldens.py
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+try:
+    from jax._src import xla_bridge as _xb
+
+    _xb._clear_backends()
+except Exception:
+    pass
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np  # noqa: E402
+
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
+
+
+def scenes():
+    from tpu_renderer import milestones
+    from tpu_renderer.utils.demo import checker_texture
+
+    yield "triangle", milestones.colored_triangle_scene(), {}
+    yield "quad_sky", milestones.colored_quad_scene(), dict(
+        bg_effect=1, bg1=(0.1, 0.2, 0.4, 0.97))
+    yield "textured", milestones.textured_quad_scene(checker_texture(32, 4)), {}
+
+
+def render_all():
+    from tests.test_pipeline_golden import render
+
+    for name, scene, kw in scenes():
+        img, _ = render(scene, **kw)
+        yield name, np.asarray(img)
+
+
+if __name__ == "__main__":
+    from tpu_renderer.present import save_png
+
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    for name, img in render_all():
+        save_png(img, os.path.join(GOLDEN_DIR, f"{name}.png"))
+        print("wrote", name)

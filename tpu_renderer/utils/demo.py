@@ -129,3 +129,63 @@ def build_demo_glb(path: str, grid: int = 8, seed: int = 0,
 
     b.save(path)
     return path
+
+
+def build_structure_glb(path: str, seed: int = 0) -> str:
+    """An architectural scene in the spirit of the reference's structure.glb
+    (vk_engine.cpp:196-200): floor slabs, colonnades, walls, stairs and a
+    tower, with shared meshes instanced by nodes.
+    """
+    rng = np.random.default_rng(seed)
+    b = GLBBuilder()
+    img_stone = b.add_image(noise_texture(128, seed=9))
+    img_tile = b.add_image(checker_texture(128, 16, (180, 170, 150, 255), (90, 80, 70, 255)))
+    img_roof = b.add_image(gradient_texture(128, (160, 60, 40, 255), (90, 30, 20, 255)))
+    smp = b.add_sampler(mag=9729, min_=9985)
+    m_stone = b.add_material((1, 1, 1, 1), texture=b.add_texture(img_stone, smp), name="stone")
+    m_tile = b.add_material((1, 1, 1, 1), texture=b.add_texture(img_tile, smp), name="tile")
+    m_roof = b.add_material((1, 1, 1, 1), texture=b.add_texture(img_roof, smp), name="roof")
+    m_glass = b.add_material((0.3, 0.5, 0.9, 0.4), alpha_mode="BLEND", name="glass")
+
+    pos, nrm, uv, idx = cube_primitive(1.0)
+
+    def mesh(mat, name):
+        return b.add_mesh([dict(positions=pos, normals=nrm, uvs=uv,
+                                indices=idx, material=mat)], name=name)
+
+    cube_stone = mesh(m_stone, "stone_cube")
+    cube_tile = mesh(m_tile, "tile_cube")
+    cube_roof = mesh(m_roof, "roof_cube")
+    cube_glass = mesh(m_glass, "glass_cube")
+
+    def block(mesh_id, pos3, scale3, name):
+        return b.add_node(mesh=mesh_id, translation=pos3, scale=scale3,
+                          name=name, top_level=True)
+
+    # plaza floor
+    block(cube_tile, (0, -0.5, 0), (60, 1, 60), "plaza")
+    # colonnade: two rows of pillars with beams
+    for i in range(8):
+        x = -14 + 4 * i
+        for zrow in (-6, 6):
+            block(cube_stone, (x, 3, zrow), (1, 6, 1), f"pillar_{i}_{zrow}")
+        block(cube_stone, (x, 6.5, 0), (1.2, 1, 13), f"beam_{i}")
+    # walls with window gaps (glass)
+    for i in range(10):
+        x = -18 + 4 * i
+        block(cube_stone, (x, 2, -14), (4, 4, 1), f"wall_{i}")
+        block(cube_glass, (x, 5.5, -14), (3, 2.6, 0.4), f"win_{i}")
+    # stairs
+    for i in range(6):
+        block(cube_tile, (20 + i, 0.25 + 0.5 * i, 0), (1, 0.5 + i, 8), f"stair_{i}")
+    # tower
+    block(cube_stone, (26, 6, 0), (4, 12, 4), "tower")
+    block(cube_roof, (26, 13.5, 0), (5, 3, 5), "tower_roof")
+    # scattered crates
+    for k in range(24):
+        x, z = rng.uniform(-16, 16, 2)
+        s_ = float(rng.uniform(0.5, 1.4))
+        block(cube_stone if k % 3 else cube_roof, (float(x), s_ / 2, float(z)),
+              (s_, s_, s_), f"crate_{k}")
+    b.save(path)
+    return path
