@@ -176,6 +176,21 @@ def _pack_tile_aabb(aabb, tiles_x: int, tiles_y: int, tile_w: int, tile_h: int):
     return tx0 | (ty0 << 8) | (tx1 << 16) | (ty1 << 24)
 
 
+def expand_bins(chunk_bins, chunk_counts):
+    """Chunk bins -> per-triangle bins WITHOUT the tightening pass.
+
+    For small triangle sets the refine stage costs more than letting the
+    raster loop evaluate the few extra misses; this just expands each binned
+    chunk to its CHUNK member ids (order preserved).
+    """
+    n_tiles, bcap = chunk_bins.shape
+    tri = jnp.where(chunk_bins >= 0, chunk_bins, 0)[:, :, None] * CHUNK \
+        + jnp.arange(CHUNK, dtype=jnp.int32)[None, None, :]
+    tri = tri.reshape(n_tiles, bcap * CHUNK)
+    slot_ok = jnp.repeat(chunk_bins >= 0, CHUNK, axis=1)
+    return jnp.where(slot_ok, tri, NO_TRI), chunk_counts * CHUNK
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("tiles_x", "tiles_y", "tile_w", "tile_h", "tri_cap"),

@@ -188,12 +188,19 @@ def render_frame(buffers: SceneBuffers, params: FrameParams, *,
             width, height,
         )
         caabb_t, cvalid_t = raster.chunk_aabbs(setup_t.aabb, setup_t.valid)
-        cbins_t, _, overflow_tc = raster.bin_triangles(
+        tbin_cap = min(bin_cap, max(tt // raster.CHUNK, 1))
+        cbins_t, ccounts_t, overflow_tc = raster.bin_triangles(
             caabb_t, cvalid_t, tiles_x=tiles_x, tiles_y=tiles_y,
-            tile_w=tile_w, tile_h=tile_h, entry_cap=entry_cap, bin_cap=bin_cap)
-        bins_t, counts_t, overflow_tt = raster.refine_bins(
-            cbins_t, setup_t.aabb, tiles_x=tiles_x, tiles_y=tiles_y,
-            tile_w=tile_w, tile_h=tile_h, tri_cap=tri_cap)
+            tile_w=tile_w, tile_h=tile_h, entry_cap=entry_cap, bin_cap=tbin_cap)
+        if tt <= 4096:
+            # small transparent sets: skip the refine pass; the peel loop
+            # evaluates the few extra chunk members instead
+            bins_t, counts_t = raster.expand_bins(cbins_t, ccounts_t)
+            overflow_tt = jnp.int32(0)
+        else:
+            bins_t, counts_t, overflow_tt = raster.refine_bins(
+                cbins_t, setup_t.aabb, tiles_x=tiles_x, tiles_y=tiles_y,
+                tile_w=tile_w, tile_h=tile_h, tri_cap=tri_cap)
         overflow_t = overflow_tc + overflow_tt
         rows_t = shade.build_shade_rows(setup_t.packed, setup_t.attrs,
                                         buffers.mat_meta)
