@@ -55,11 +55,6 @@ class RendererConfig:
     # the VPU lane width; 32 sublanes keeps edge-function arrays register-friendly.
     tile_h: int = 32
     tile_w: int = 128
-    # Triangles are processed in fixed-size chunks inside the raster loop.
-    tri_chunk: int = 256
-    # Per-tile bin capacity for the binned rasterizer (overflow falls back to
-    # the chunked path for the remainder).
-    bin_capacity: int = 2048
     # Framebuffer storage dtype. The reference draw image is
     # R16G16B16A16_SFLOAT (vk_engine.cpp:749); storing fp16 reproduces its
     # quantization. Depth is D32_SFLOAT (vk_engine.cpp:774) => f32.

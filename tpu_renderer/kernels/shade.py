@@ -35,8 +35,6 @@ C_MAT = 12     # 1: material id
 C_ATTR = 13    # 24: per-corner normal(3) color(3) uv(2), corner-major
 C_TEX = 37     # 6: base_x, base_y, w0, h0, n_levels, filter_flags
 SHADE_COLS = 48
-_C_ATTR = C_ATTR
-_C_TEX = C_TEX
 
 
 def build_shade_rows(packed, attrs, mat_meta):
@@ -215,9 +213,9 @@ def shade_core(t, shade_rows, atlas, ambient_rgb, sun_dir, sun_power,
     b1 = (c1 * inv)[..., None]
     b2 = (c2 * inv)[..., None]
 
-    a0 = g[..., _C_ATTR:_C_ATTR + 8]
-    a1 = g[..., _C_ATTR + 8:_C_ATTR + 16]
-    a2 = g[..., _C_ATTR + 16:_C_ATTR + 24]
+    a0 = g[..., C_ATTR:C_ATTR + 8]
+    a1 = g[..., C_ATTR + 8:C_ATTR + 16]
+    a2 = g[..., C_ATTR + 16:C_ATTR + 24]
     interp = a0 * b0 + a1 * b1 + a2 * b2               # perspective-correct
     normal = interp[..., 0:3]
     color_in = interp[..., 3:6]

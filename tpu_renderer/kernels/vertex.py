@@ -29,7 +29,6 @@ edge values ARE the barycentric weights c_i).
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax

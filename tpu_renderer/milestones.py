@@ -20,8 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from tpu_renderer import resources, scene as scene_mod
-from tpu_renderer.config import RendererConfig
+from tpu_renderer import scene as scene_mod
 from tpu_renderer.scene import (
     Bounds,
     GeoSurface,
@@ -36,10 +35,6 @@ UNLIT_CONFIG_OVERRIDES = dict(
     sunlight_direction=(0.0, 0.0, 1.0, 1.0),
     sunlight_color=(1.0, 1.0, 1.0, 1.0),
 )
-
-
-def _identity_camera_config(width: int, height: int, **kw) -> RendererConfig:
-    return RendererConfig(width=width, height=height, **kw)
 
 
 def _simple_scene(positions, normals, colors, uvs, indices,

@@ -149,7 +149,6 @@ def build_atlas(images: List[np.ndarray], mipmapped=None,
         assert img.ndim == 3 and img.shape[2] == 4 and img.dtype == np.uint8
         chain = mip_chain(img, enabled=mipmapped[i])
         h0, w0 = img.shape[:2]
-        strip = np.zeros((h0, w0 * len(chain)), np.uint32)
         strip_q = np.zeros((h0, w0 * len(chain), 4), np.uint32)
         for L, lvl in enumerate(chain):
             q = _quad_rows(_pack_rgba8(lvl))
