@@ -14,14 +14,14 @@ import time
 import numpy as np
 
 
-def main() -> int:
+def _run() -> int:
     from tpu_renderer.config import RendererConfig
     from tpu_renderer.engine import Engine
     from tpu_renderer.utils.demo import build_demo_glb
 
     width, height = 1920, 1080
-    grid = int(os.environ.get("BENCH_GRID", "64"))  # 64x64 cubes ~ 49k tris
-    frames = int(os.environ.get("BENCH_FRAMES", "30"))
+    grid = int(os.environ.get("BENCH_GRID", "64"))  # 64x64 cubes ~ 46k tris
+    frames = int(os.environ.get("BENCH_FRAMES", "20"))
 
     path = os.path.join(tempfile.gettempdir(), f"bench_scene_{grid}.glb")
     if not os.path.exists(path):
@@ -86,6 +86,17 @@ def main() -> int:
     }
     print(json.dumps(result))
     return 0
+
+
+def main() -> int:
+    # the remote TPU stack occasionally throws a transient INTERNAL error on
+    # first contact; one retry keeps the driver run robust
+    try:
+        return _run()
+    except Exception as e:  # pragma: no cover
+        print(f"# bench retry after: {type(e).__name__}", file=sys.stderr)
+        time.sleep(10)
+        return _run()
 
 
 if __name__ == "__main__":
