@@ -15,6 +15,15 @@ import numpy as np
 
 
 def _run() -> int:
+    import jax
+
+    # persistent compilation cache: makes repeat bench runs start fast
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/tpu_renderer_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
     from tpu_renderer.config import RendererConfig
     from tpu_renderer.engine import Engine
     from tpu_renderer.utils.demo import build_demo_glb
