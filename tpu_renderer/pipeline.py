@@ -272,8 +272,6 @@ def render_frames(buffers: SceneBuffers, params_batch: FrameParams, **kw):
         checksum = img[::191, ::127, 0].astype(jnp.int32).sum()
         return img, checksum
 
-    n = params_batch.view.shape[0]
-    hp = -(-kw["height"] // kw.get("tile_h", 32)) * kw.get("tile_h", 32)
     init = jnp.zeros((kw["height"], kw["width"], 4), jnp.uint8)
     last, sums = jax.lax.scan(step, init, params_batch)
     return last, sums
