@@ -31,6 +31,9 @@ def _run() -> int:
     width, height = 1920, 1080
     grid = int(os.environ.get("BENCH_GRID", "64"))  # 64x64 cubes ~ 46k tris
     frames = int(os.environ.get("BENCH_FRAMES", "20"))
+    if jax.default_backend() != "tpu":
+        # CPU fallback (interpret-mode Pallas): keep it finishable
+        width, height, grid, frames = 640, 360, 8, 2
 
     path = os.path.join(tempfile.gettempdir(), f"bench_scene_{grid}.glb")
     if not os.path.exists(path):
