@@ -118,6 +118,37 @@ def test_materials_samplers_and_images(tmp_path):
     np.testing.assert_array_equal(parsed.images[0], img)
 
 
+def test_common_samplers_default_to_trilinear(tmp_path):
+    """extract_mipmap_mode (vk_loader.cpp:43-54) defaults to
+    MIPMAP_MODE_LINEAR for every min filter except *MipMapNearest — plain
+    LINEAR/NEAREST min filters and missing filters (defaulted to Nearest by
+    the caller, vk_loader.cpp:206) all get trilinear mip interpolation."""
+    b = GLBBuilder()
+    i = b.add_image(np.zeros((4, 4, 4), np.uint8))
+    cases = [
+        b.add_sampler(mag=9729, min_=9729),   # plain linear min
+        b.add_sampler(mag=9729, min_=9728),   # plain nearest min
+        b.add_sampler(mag=None, min_=None),   # missing filters
+        b.add_sampler(mag=9728, min_=9986),   # nearest-mip-linear
+        b.add_sampler(mag=9729, min_=9985),   # linear-mip-NEAREST
+    ]
+    for s in cases:
+        b.add_texture(i, s)
+    b.add_mesh([dict(positions=np.zeros((3, 3), np.float32), indices=[0, 1, 2])])
+    b.add_node(mesh=0)
+    path = str(tmp_path / "samplers.glb")
+    b.save(path)
+    flags = [s.filter_flags for s in gltf.load_gltf(path).samplers]
+    assert flags[0] == FILTER_MAG_LINEAR | FILTER_MIN_LINEAR | FILTER_MIP_LINEAR
+    assert flags[1] == FILTER_MAG_LINEAR | FILTER_MIP_LINEAR
+    # missing mag/min both default to Nearest (vk_loader.cpp:204-206), but
+    # the mipmap mode still falls to the LINEAR default branch
+    assert flags[2] == FILTER_MIP_LINEAR
+    # NearestMipMapLinear is in extract_filter's NEAREST group (vk_loader.cpp:31)
+    assert flags[3] == FILTER_MIP_LINEAR
+    assert flags[4] == FILTER_MAG_LINEAR | FILTER_MIN_LINEAR
+
+
 def test_non_indexed_primitive_generates_indices(tmp_path):
     b = GLBBuilder()
     pos = np.zeros((6, 3), np.float32)

@@ -123,7 +123,11 @@ def _filter_flags(mag: int, min_: int) -> int:
         flags |= FILTER_MAG_LINEAR
     if min_ in (_LINEAR, _LINEAR_MIPMAP_NEAREST, _LINEAR_MIPMAP_LINEAR):
         flags |= FILTER_MIN_LINEAR
-    if min_ in (_NEAREST_MIPMAP_LINEAR, _LINEAR_MIPMAP_LINEAR):
+    # extract_mipmap_mode (vk_loader.cpp:43-54) returns MIPMAP_MODE_NEAREST
+    # only for *MipMapNearest; every other min filter — including plain
+    # LINEAR/NEAREST and a missing filter (caller defaults it to Nearest,
+    # vk_loader.cpp:206) — falls to the default MIPMAP_MODE_LINEAR branch.
+    if min_ not in (_NEAREST_MIPMAP_NEAREST, _LINEAR_MIPMAP_NEAREST):
         flags |= FILTER_MIP_LINEAR
     return flags
 

@@ -75,9 +75,14 @@ class GLBBuilder:
             {"bufferView": view, "mimeType": "image/png"})
         return len(self.gltf["images"]) - 1
 
-    def add_sampler(self, mag: int = 9729, min_: int = 9987) -> int:
-        self.gltf.setdefault("samplers", []).append(
-            {"magFilter": mag, "minFilter": min_})
+    def add_sampler(self, mag: Optional[int] = 9729,
+                    min_: Optional[int] = 9987) -> int:
+        s = {}
+        if mag is not None:
+            s["magFilter"] = mag
+        if min_ is not None:
+            s["minFilter"] = min_
+        self.gltf.setdefault("samplers", []).append(s)
         return len(self.gltf["samplers"]) - 1
 
     def add_texture(self, image: int, sampler: Optional[int] = None) -> int:
