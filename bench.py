@@ -70,7 +70,7 @@ def _run() -> int:
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *param_list)
     kw = dict(width=eng.config.width, height=eng.config.height,
               tile_h=eng.config.tile_h, tile_w=eng.config.tile_w,
-              peels=eng.peels, fp16=eng.config.framebuffer_fp16,
+              fp16=eng.config.framebuffer_fp16,
               transp_textured=eng._transp_textured(), **eng._caps)
     image, sums = render_frames(eng.flat.buffers, stacked, **kw)  # compile
     _ = np.asarray(sums)

@@ -35,7 +35,7 @@ def test_multichip_matches_single_chip(rows, tri):
     flat = flatten_scene(scene)
     params = _params()
     single, _ = render_frame(flat.buffers, params, width=W, height=H,
-                             entry_cap=4096, bin_cap=128, peels=2)
+                             entry_cap=4096, bin_cap=128)
     mesh = make_mesh(rows, tri)
     multi = render_frame_multichip(flat.buffers, params, mesh=mesh,
                                    width=W, height=H,
@@ -53,7 +53,7 @@ def test_multichip_transparent():
     params = _params(bg_data1=jnp.asarray([0.5, 0.25, 0.5, 1.0], jnp.float32),
                      bg_data2=jnp.asarray([0.5, 0.25, 0.5, 1.0], jnp.float32))
     single, _ = render_frame(flat.buffers, params, width=W, height=H,
-                             entry_cap=4096, bin_cap=128, peels=2)
+                             entry_cap=4096, bin_cap=128)
     mesh = make_mesh(2, 2)
     multi = render_frame_multichip(flat.buffers, params, mesh=mesh,
                                    width=W, height=H,

@@ -30,7 +30,7 @@ def render(scene, *, view=None, proj=None, bg_effect=0,
         sun_color=jnp.asarray(sun_color, jnp.float32),
     )
     img, aux = render_frame(flat.buffers, params, width=width, height=height,
-                            entry_cap=4096, bin_cap=128, peels=4)
+                            entry_cap=4096, bin_cap=128)
     return np.asarray(img), aux
 
 
@@ -139,6 +139,27 @@ def test_transparent_layers_accumulate():
     np.testing.assert_allclose(center[:3], [0.5, 0.5, 0.5], atol=2 / 255)
 
 
+def test_six_transparent_layers_unbounded_sum():
+    """Six stacked glass quads all blend (reference blends EVERY transparent
+    fragment, vk_engine.cpp:1459-1465 — no layer cap may drop the 3rd+)."""
+    import tpu_renderer.scene as sm
+
+    scene = milestones.colored_quad_scene(z0=0.5, z1=0.5)
+    scene.materials[-1].transparent = True
+    scene.colors = np.tile(np.array([0.1, 0.05, 0.025, 1], np.float32), (4, 1))
+    for k in range(5):
+        node = sm.MeshNode(0, f"layer{k}")
+        node.refresh_transform(np.eye(4, dtype=np.float32))
+        scene.nodes.append(node)
+        scene.top_nodes.append(node)
+    img, aux = render(scene, bg1=(0.1, 0.1, 0.1, 1), bg2=(0.1, 0.1, 0.1, 1))
+    assert int(aux["transparent_layers"]) == 6
+    center = img[H // 2, W // 2].astype(np.float32) / 255.0
+    # 6 * src + bg (bg alpha 1.0)
+    expected = np.array([0.6 + 0.1, 0.3 + 0.1, 0.15 + 0.1])
+    np.testing.assert_allclose(center[:3], expected, atol=2 / 255)
+
+
 def test_determinism():
     """Same scene+camera twice => bit-identical frames (SURVEY §4 item 5)."""
     scene = milestones.colored_triangle_scene()
@@ -172,9 +193,9 @@ def test_fused_matches_deferred():
         sun_dir=jnp.asarray([0.2, 0.4, 0.9, 1], jnp.float32),
         sun_color=jnp.ones(4, jnp.float32))
     a, _ = render_frame(flat.buffers, params, width=W, height=H,
-                        entry_cap=4096, bin_cap=128, peels=2, fused=True)
+                        entry_cap=4096, bin_cap=128, fused=True)
     b, _ = render_frame(flat.buffers, params, width=W, height=H,
-                        entry_cap=4096, bin_cap=128, peels=2, fused=False)
+                        entry_cap=4096, bin_cap=128, fused=False)
     diff = np.abs(np.asarray(a).astype(int) - np.asarray(b).astype(int))
     assert diff.max() <= 1, f"max u8 diff {diff.max()}"
 
@@ -192,8 +213,8 @@ def test_fused_transparent_matches_deferred():
         sun_dir=jnp.asarray([0, 0, 1, 1], jnp.float32),
         sun_color=jnp.ones(4, jnp.float32))
     a, _ = render_frame(flat.buffers, params, width=W, height=H,
-                        entry_cap=4096, bin_cap=128, peels=2, fused=True)
+                        entry_cap=4096, bin_cap=128, fused=True)
     b, _ = render_frame(flat.buffers, params, width=W, height=H,
-                        entry_cap=4096, bin_cap=128, peels=2, fused=False)
+                        entry_cap=4096, bin_cap=128, fused=False)
     diff = np.abs(np.asarray(a).astype(int) - np.asarray(b).astype(int))
     assert diff.max() <= 1, f"max u8 diff {diff.max()}"

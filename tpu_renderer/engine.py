@@ -49,7 +49,6 @@ class Engine:
         self.flat: Optional[scene_mod.FlattenedDrawList] = None
         self.frame_number = 0
         self.current_background_effect = self.config.background_effect
-        self.peels = 2  # transparency depth-peel layers per frame
         self._caps = None
         self._last_aux = None
 
@@ -141,7 +140,7 @@ class Engine:
             self.flat.buffers, params,
             width=cfg.width, height=cfg.height,
             tile_h=cfg.tile_h, tile_w=cfg.tile_w,
-            peels=self.peels, fp16=cfg.framebuffer_fp16,
+            fp16=cfg.framebuffer_fp16,
             transp_textured=self._transp_textured(),
             **self._caps,
         )

@@ -617,6 +617,135 @@ def rasterize_fused(fat_rows, bins, counts, *, tiles_x: int, tiles_y: int,
     return z, tid, attrs, meta
 
 
+def _accum_fused_kernel(counts_ref, light_ref, rows_ref, zbase_ref,
+                        acc_ref, cnt_ref, *,
+                        tiles_x: int, tile_h: int, tile_w: int):
+    """Order-independent transparent accumulation (untextured materials).
+
+    The reference's transparent pass is additive blending with
+    dstAlpha-scaling (vk_pipelines.cpp:157-167) — but mesh.frag always
+    writes alpha = 1.0 (shaders/mesh.frag:18), so after the first blended
+    fragment dst.a == 1 and the pass reduces to an order-independent SUM of
+    every transparent fragment that passes the depth-test-only
+    GREATER_OR_EQUAL vs the opaque z buffer (vk_engine.cpp:1673-1676).
+    One raster pass shades (mesh.frag, tex factor == 1 for the white
+    texture) and accumulates all layers — no peel cap, nothing dropped.
+    """
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    tile = i * tiles_x + j
+    n = counts_ref[tile, 0]
+    sx = light_ref[0, 0]
+    sy = light_ref[0, 1]
+    sz = light_ref[0, 2]
+    power = light_ref[0, 3]
+    amb_r = light_ref[0, 4]
+    amb_g = light_ref[0, 5]
+    amb_b = light_ref[0, 6]
+    X, Y = _tile_coords(i, j, tile_h, tile_w)
+    zbase = zbase_ref[:, :]
+
+    def tri_body(k4, carry):
+        ar, ag, ab, cnt = carry
+        for u in range(_UNROLL):
+            k = k4 * _UNROLL + u
+            r = lambda col, _k=k: rows_ref[0, _k, col]  # noqa: E731
+            c0v = r(0) * X + r(1) * Y + r(2)
+            c1v = r(3) * X + r(4) * Y + r(5)
+            c2v = r(6) * X + r(7) * Y + r(8)
+            tl0 = (r(0) > 0.0) | ((r(0) == 0.0) & (r(1) > 0.0))
+            tl1 = (r(3) > 0.0) | ((r(3) == 0.0) & (r(4) > 0.0))
+            tl2 = (r(6) > 0.0) | ((r(6) == 0.0) & (r(7) > 0.0))
+            cov = (((c0v > 0.0) | ((c0v == 0.0) & tl0))
+                   & ((c1v > 0.0) | ((c1v == 0.0) & tl1))
+                   & ((c2v > 0.0) | ((c2v == 0.0) & tl2)))
+            zv = r(9) * X + r(10) * Y + r(11)
+            cov &= (zv >= 0.0) & (zv <= 1.0)
+            take = cov & (zv >= zbase) & (k < n)
+            csum = c0v + c1v + c2v
+            inv = jnp.where(csum != 0.0, 1.0 / csum, 0.0)
+            # perspective-correct normal + color (attr cols 0-5; uv unused
+            # because the white texture's tex factor is 1.0)
+            b0 = c0v * inv
+            b1 = c1v * inv
+            b2 = c2v * inv
+            nx = b0 * r(13) + b1 * r(21) + b2 * r(29)
+            ny = b0 * r(14) + b1 * r(22) + b2 * r(30)
+            nz = b0 * r(15) + b1 * r(23) + b2 * r(31)
+            cr = b0 * r(16) + b1 * r(24) + b2 * r(32)
+            cg = b0 * r(17) + b1 * r(25) + b2 * r(33)
+            cb = b0 * r(18) + b1 * r(26) + b2 * r(34)
+            # mesh.frag:12-18 — light floor 0.1, sun power, ambient add
+            light = jnp.maximum(nx * sx + ny * sy + nz * sz, jnp.float32(0.1))
+            scale = light * power
+            ar = jnp.where(take, ar + cr * (scale + amb_r), ar)
+            ag = jnp.where(take, ag + cg * (scale + amb_g), ag)
+            ab = jnp.where(take, ab + cb * (scale + amb_b), ab)
+            cnt = jnp.where(take, cnt + 1, cnt)
+        return ar, ag, ab, cnt
+
+    zero = jnp.zeros((tile_h, tile_w), jnp.float32)
+    cnt0 = jnp.zeros((tile_h, tile_w), jnp.int32)
+    n4 = (n + _UNROLL - 1) // _UNROLL
+    ar1, ag1, ab1, cnt1 = jax.lax.fori_loop(
+        0, n4, tri_body, (zero, zero, zero, cnt0))
+    acc_ref[0, :, :] = ar1
+    acc_ref[1, :, :] = ag1
+    acc_ref[2, :, :] = ab1
+    cnt_ref[:, :] = cnt1
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tiles_x", "tiles_y", "tile_w", "tile_h"),
+)
+def rasterize_accum_fused(fat_rows, bins, counts, z_base, light, *,
+                          tiles_x: int, tiles_y: int, tile_w: int,
+                          tile_h: int):
+    """Sum-shade ALL transparent fragments in one pass (untextured path).
+
+    light: (8,) f32 [sun_dir xyz, sun_power, ambient rgb, 0].
+    Returns (acc (3, Hp, Wp) f32 summed src colors,
+             cnt (Hp, Wp) i32 fragments blended per pixel).
+    """
+    T = fat_rows.shape[0]
+    n_tiles, bin_cap = bins.shape
+    bin_cap_pad = cdiv(bin_cap, 8) * 8
+    if bin_cap_pad != bin_cap:
+        bins = jnp.pad(bins, ((0, 0), (0, bin_cap_pad - bin_cap)), constant_values=NO_TRI)
+        bin_cap = bin_cap_pad
+
+    safe = jnp.clip(bins, 0, T - 1)
+    rows = fat_rows[safe]
+    # dead slots beyond counts are masked by (k < n) in-kernel
+
+    hp = tiles_y * tile_h
+    wp = tiles_x * tile_w
+
+    return pl.pallas_call(
+        functools.partial(_accum_fused_kernel, tiles_x=tiles_x,
+                          tile_h=tile_h, tile_w=tile_w),
+        out_shape=(
+            jax.ShapeDtypeStruct((3, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((hp, wp), jnp.int32),
+        ),
+        grid=(tiles_y, tiles_x),
+        in_specs=[
+            pl.BlockSpec((n_tiles, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, bin_cap, 48),
+                         lambda i, j, _tx=tiles_x: (i * _tx + j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((3, tile_h, tile_w), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        ),
+        interpret=use_interpret(),
+    )(counts.reshape(n_tiles, 1), light.reshape(1, 8), rows, z_base)
+
+
 def _peel_fused_kernel(counts_ref, rows_ref, zbase_ref, last_ref,
                        tid_ref, attr_ref, meta_ref, *,
                        tiles_x: int, tile_h: int, tile_w: int):

@@ -7,7 +7,8 @@ function over device arrays:
     -> vertex transform + setup (mesh.vert + primitive assembly)
     -> tile binning + raster    (vkCmdDrawIndexed's fixed-function stage)
     -> deferred shading         (mesh.frag)
-    -> transparent depth peels  (additive blend pass, vk_engine.cpp:1673-1676)
+    -> transparent accumulation (additive blend pass, vk_engine.cpp:1673-1676;
+       single-pass sum for untextured, unbounded peel loop for textured)
     -> unorm8 convert           (swapchain blit, vk_images.cpp:33-64)
 
 All shapes are static per scene; the engine re-jits only when the scene or
@@ -88,13 +89,13 @@ def _bg_sky(d1, hp: int, wp: int, height: int):
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "tile_h", "tile_w", "entry_cap",
-                     "bin_cap", "tri_cap", "peels", "fp16", "transp_textured",
+                     "bin_cap", "tri_cap", "fp16", "transp_textured",
                      "fused"),
 )
 def render_frame(buffers: SceneBuffers, params: FrameParams, *,
                  width: int, height: int, tile_h: int = 32, tile_w: int = 128,
                  entry_cap: int = 1 << 15, bin_cap: int = 512,
-                 tri_cap: int = 1024, peels: int = 4, fp16: bool = True,
+                 tri_cap: int = 1024, fp16: bool = True,
                  transp_textured: bool = True, fused: bool = True):
     """Render one frame. Returns ((H, W, 4) uint8 image, aux dict)."""
     wp, hp = pad_extent(width, height, tile_h, tile_w)
@@ -204,48 +205,70 @@ def render_frame(buffers: SceneBuffers, params: FrameParams, *,
         overflow_t = overflow_tc + overflow_tt
         rows_t = shade.build_shade_rows(setup_t.packed, setup_t.attrs,
                                         buffers.mat_meta)
-        last = jnp.full((hp, wp), -1, jnp.int32)
-        layers_found = jnp.zeros((), jnp.int32)
 
-        def one_peel(fb, last):
-            if fused:
-                layer, attrs_px, meta_px = raster.rasterize_peel_fused(
-                    rows_t, bins_t, counts_t, z, last,
-                    tiles_x=tiles_x, tiles_y=tiles_y,
-                    tile_w=tile_w, tile_h=tile_h)
-                found = layer < raster.ID_INF
-                src = shade.shade_fused(
-                    attrs_px, meta_px, buffers.atlas, params.ambient[:3],
-                    params.sun_dir[:3], params.sun_color[3],
-                    textured=transp_textured)
-                src = jnp.moveaxis(src, -1, 0)
-                # additive blend (vk_pipelines.cpp:157-167)
-                rgb = jnp.where(found[None], src + fb[:3] * fb[3][None], fb[:3])
-                alpha = jnp.where(found, jnp.float32(1.0), fb[3])
-                fb = q(jnp.concatenate([rgb, alpha[None]], axis=0))
-            else:
-                layer = raster.rasterize_peel(
-                    setup_t.packed, bins_t, counts_t, z, last,
-                    tiles_x=tiles_x, tiles_y=tiles_y, tile_w=tile_w, tile_h=tile_h)
-                found = layer < raster.ID_INF
-                tid_layer = jnp.where(found, layer, -1)
-                fb = q(shade.blend_layer(
-                    fb, tid_layer, rows_t, buffers.atlas,
-                    params.ambient[:3], params.sun_dir[:3], params.sun_color[3],
-                    textured=transp_textured))
-            last = jnp.where(found, layer, raster.ID_INF)
-            return fb, last, found.any()
+        if fused and not transp_textured:
+            # mesh.frag writes alpha = 1.0 always (shaders/mesh.frag:18), so
+            # the reference's additive blend reduces to an order-independent
+            # SUM over all transparent fragments — one raster pass shades and
+            # accumulates EVERY layer (no peel cap, nothing ever dropped).
+            light = jnp.concatenate([
+                params.sun_dir[:3], params.sun_color[3:4],
+                params.ambient[:3], jnp.zeros(1, jnp.float32)])
+            acc, cnt = raster.rasterize_accum_fused(
+                rows_t, bins_t, counts_t, z, light,
+                tiles_x=tiles_x, tiles_y=tiles_y,
+                tile_w=tile_w, tile_h=tile_h)
+            covered = cnt > 0
+            # first blended fragment scales dst by dstAlpha
+            # (vk_pipelines.cpp:161-162); dst.a == 1 afterwards
+            rgb = jnp.where(covered[None], acc + fb[:3] * fb[3][None], fb[:3])
+            alpha = jnp.where(covered, jnp.float32(1.0), fb[3])
+            fb = q(jnp.concatenate([rgb, alpha[None]], axis=0))
+            layers_found = cnt.max()
+        else:
+            # textured transparency: peel one layer at a time in submission
+            # order, looping until NO pixel finds another fragment — the
+            # unbounded analog of the reference blending every fragment
+            # (vk_engine.cpp:1459-1465). Each peel needs its own deferred
+            # texture taps, which is why this path can't single-pass.
+            def one_peel(fb, last):
+                if fused:
+                    layer, attrs_px, meta_px = raster.rasterize_peel_fused(
+                        rows_t, bins_t, counts_t, z, last,
+                        tiles_x=tiles_x, tiles_y=tiles_y,
+                        tile_w=tile_w, tile_h=tile_h)
+                    found = layer < raster.ID_INF
+                    src = shade.shade_fused(
+                        attrs_px, meta_px, buffers.atlas, params.ambient[:3],
+                        params.sun_dir[:3], params.sun_color[3],
+                        textured=transp_textured)
+                    src = jnp.moveaxis(src, -1, 0)
+                    # additive blend (vk_pipelines.cpp:157-167)
+                    rgb = jnp.where(found[None], src + fb[:3] * fb[3][None], fb[:3])
+                    alpha = jnp.where(found, jnp.float32(1.0), fb[3])
+                    fb = q(jnp.concatenate([rgb, alpha[None]], axis=0))
+                else:
+                    layer = raster.rasterize_peel(
+                        setup_t.packed, bins_t, counts_t, z, last,
+                        tiles_x=tiles_x, tiles_y=tiles_y, tile_w=tile_w, tile_h=tile_h)
+                    found = layer < raster.ID_INF
+                    tid_layer = jnp.where(found, layer, -1)
+                    fb = q(shade.blend_layer(
+                        fb, tid_layer, rows_t, buffers.atlas,
+                        params.ambient[:3], params.sun_dir[:3], params.sun_color[3],
+                        textured=transp_textured))
+                last = jnp.where(found, layer, raster.ID_INF)
+                return fb, last, found.any()
 
-        fb, last, any_found = one_peel(fb, last)
-        layers_found += any_found.astype(jnp.int32)
-        for _ in range(peels - 1):
-            # later layers are usually empty: skip them behind a conditional
-            fb, last, any_found = jax.lax.cond(
-                any_found,
-                lambda fb, last: one_peel(fb, last),
-                lambda fb, last: (fb, last, jnp.asarray(False)),
-                fb, last)
-            layers_found += any_found.astype(jnp.int32)
+            def peel_body(carry):
+                fbc, last, layers, _ = carry
+                fbc, last, any_found = one_peel(fbc, last)
+                return fbc, last, layers + any_found.astype(jnp.int32), any_found
+
+            init = (fb, jnp.full((hp, wp), -1, jnp.int32),
+                    jnp.zeros((), jnp.int32), jnp.asarray(True))
+            fb, _, layers_found, _ = jax.lax.while_loop(
+                lambda c: c[3], peel_body, init)
         aux["bin_overflow_transparent"] = overflow_t
         aux["transparent_layers"] = layers_found
 
@@ -256,7 +279,7 @@ def render_frame(buffers: SceneBuffers, params: FrameParams, *,
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "tile_h", "tile_w", "entry_cap",
-                     "bin_cap", "tri_cap", "peels", "fp16", "transp_textured"),
+                     "bin_cap", "tri_cap", "fp16", "transp_textured"),
 )
 def render_frames(buffers: SceneBuffers, params_batch: FrameParams, **kw):
     """Render a whole batch of frames in ONE device program (lax.scan) —
