@@ -149,6 +149,82 @@ def test_common_samplers_default_to_trilinear(tmp_path):
     assert flags[4] == FILTER_MAG_LINEAR | FILTER_MIN_LINEAR
 
 
+def test_sparse_accessor_substitution(tmp_path):
+    """Sparse accessors patch indices/values over the base view
+    (fastgltf iterateAccessor semantics, vk_loader.cpp:306-308)."""
+    b = GLBBuilder()
+    pos = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [2, 2, 2]], np.float32)
+    b.add_mesh([dict(positions=pos, indices=[0, 1, 2])])
+    b.add_node(mesh=0)
+    # make POSITION sparse: replace vertices 1 and 3
+    sidx = np.array([1, 3], np.uint16)
+    svals = np.array([[9, 9, 9], [7, 7, 7]], np.float32)
+    iview = b.add_buffer_view(sidx.tobytes())
+    vview = b.add_buffer_view(svals.tobytes())
+    b.gltf["accessors"][0]["sparse"] = {
+        "count": 2,
+        "indices": {"bufferView": iview, "componentType": 5123},
+        "values": {"bufferView": vview},
+    }
+    path = str(tmp_path / "sparse.glb")
+    b.save(path)
+    m = gltf.load_gltf(path).meshes[0]
+    expected = pos.copy()
+    expected[[1, 3]] = svals
+    np.testing.assert_array_equal(m.positions, expected)
+
+
+def test_triangle_strip_and_fan_triangulate(tmp_path):
+    b = GLBBuilder()
+    pos = np.zeros((5, 3), np.float32)
+    pos[:, 0] = np.arange(5)
+    b.add_mesh([dict(positions=pos, indices=[0, 1, 2, 3]),
+                dict(positions=pos, indices=[0, 1, 2, 3, 4])])
+    b.add_node(mesh=0)
+    b.gltf["meshes"][0]["primitives"][0]["mode"] = 5  # STRIP
+    b.gltf["meshes"][0]["primitives"][1]["mode"] = 6  # FAN
+    path = str(tmp_path / "modes.glb")
+    b.save(path)
+    m = gltf.load_gltf(path).meshes[0]
+    # strip 0123 -> (0,1,2), (2,1,3) [odd flips winding]
+    np.testing.assert_array_equal(m.indices[:6], [0, 1, 2, 2, 1, 3])
+    # fan 01234 -> (0,1,2), (0,2,3), (0,3,4), offset by the strip's 5 verts
+    np.testing.assert_array_equal(m.indices[6:] - 5, [0, 1, 2, 0, 2, 3, 0, 3, 4])
+    assert m.surfaces[0].count == 6 and m.surfaces[1].count == 9
+
+
+def test_line_primitive_skipped(tmp_path):
+    b = GLBBuilder()
+    pos = np.zeros((4, 3), np.float32)
+    b.add_mesh([dict(positions=pos, indices=[0, 1]),
+                dict(positions=pos, indices=[0, 1, 2])])
+    b.add_node(mesh=0)
+    b.gltf["meshes"][0]["primitives"][0]["mode"] = 1  # LINES
+    path = str(tmp_path / "lines.glb")
+    b.save(path)
+    m = gltf.load_gltf(path).meshes[0]
+    assert len(m.surfaces) == 1 and m.surfaces[0].count == 3
+
+
+def test_khr_texture_transform_applied(tmp_path):
+    b = GLBBuilder()
+    i = b.add_image(np.zeros((4, 4, 4), np.uint8))
+    t = b.add_texture(i, b.add_sampler())
+    mat = b.add_material((1, 1, 1, 1), texture=t)
+    uv = np.array([[0, 0], [1, 0], [0, 1]], np.float32)
+    b.add_mesh([dict(positions=np.zeros((3, 3), np.float32), uvs=uv,
+                     indices=[0, 1, 2], material=mat)])
+    b.add_node(mesh=0)
+    b.gltf["materials"][mat]["pbrMetallicRoughness"]["baseColorTexture"][
+        "extensions"] = {"KHR_texture_transform": {
+            "offset": [0.5, 0.25], "scale": [2.0, 3.0]}}
+    path = str(tmp_path / "ktt.glb")
+    b.save(path)
+    m = gltf.load_gltf(path).meshes[0]
+    expected = uv * [2.0, 3.0] + [0.5, 0.25]
+    np.testing.assert_allclose(m.uvs, expected, atol=1e-6)
+
+
 def test_non_indexed_primitive_generates_indices(tmp_path):
     b = GLBBuilder()
     pos = np.zeros((6, 3), np.float32)

@@ -21,6 +21,14 @@ Parsing semantics mirror the reference loader:
   (value_or(Filter::Nearest), vk_loader.cpp:204-206)
 * non-indexed primitives get generated indices (fastgltf
   Options::GenerateMeshIndices, vk_loader.cpp:176-178)
+* sparse accessors substitute over the (possibly absent) base view, like
+  fastgltf's iterateAccessor (vk_loader.cpp:306-308)
+* TRIANGLE_STRIP / TRIANGLE_FAN primitives are triangulated; point/line
+  topologies are skipped with a warning (the reference only ever builds a
+  TRIANGLE_LIST pipeline, vk_engine.cpp:1661)
+* KHR_texture_transform is parsed (the reference enables the extension,
+  vk_loader.cpp:169-171) and — beyond the reference, whose shader ignores
+  it — baked into the primitive's uvs
 """
 
 from __future__ import annotations
@@ -29,6 +37,7 @@ import base64
 import dataclasses
 import io
 import json
+import logging
 import os
 import struct
 from typing import Dict, List, Optional
@@ -74,6 +83,12 @@ class ParsedMaterial:
     transparent: bool
     base_color_image: Optional[int]  # index into parsed images, None = white
     base_color_sampler: Optional[int]
+    # KHR_texture_transform on baseColorTexture, as a (2,3) affine uv matrix
+    # (None = identity). The reference *parses* the extension
+    # (vk_loader.cpp:169-171) but its shader never applies it; we bake it
+    # into the primitive's uvs at load time so transformed files render
+    # correctly.
+    uv_transform: Optional[np.ndarray] = None
 
 
 @dataclasses.dataclass
@@ -166,10 +181,13 @@ class _Buffers:
 
 
 def read_accessor(gltf: dict, buffers: _Buffers, accessor_idx: int) -> np.ndarray:
-    """Accessor -> (count, n) float32 or integer array (not normalized)."""
+    """Accessor -> (count, n) float32 or integer array (not normalized).
+
+    Sparse accessors are substituted like fastgltf's iterateAccessor does for
+    the reference (vk_loader.cpp:306-308): base data (zeros when the accessor
+    has no bufferView) with sparse indices/values patched in.
+    """
     acc = gltf["accessors"][accessor_idx]
-    if "sparse" in acc:
-        raise NotImplementedError("sparse accessors not supported")
     count = acc["count"]
     n = _TYPE_COUNTS[acc["type"]]
     dtype = _COMPONENT_DTYPES[acc["componentType"]]
@@ -198,6 +216,21 @@ def read_accessor(gltf: dict, buffers: _Buffers, accessor_idx: int) -> np.ndarra
         else:
             out = np.frombuffer(raw, dtype, count=count * n, offset=off).reshape(count, n)
 
+    if "sparse" in acc:
+        sp = acc["sparse"]
+        scount = sp["count"]
+        si = sp["indices"]
+        idx_dtype = _COMPONENT_DTYPES[si["componentType"]]
+        raw_i, _, _ = buffers.view_bytes(si["bufferView"])
+        sidx = np.frombuffer(raw_i, idx_dtype, count=scount,
+                             offset=si.get("byteOffset", 0)).astype(np.int64)
+        sv = sp["values"]
+        raw_v, _, _ = buffers.view_bytes(sv["bufferView"])
+        svals = np.frombuffer(raw_v, dtype, count=scount * n,
+                              offset=sv.get("byteOffset", 0)).reshape(scount, n)
+        out = out.copy()
+        out[sidx] = svals
+
     if acc.get("normalized"):
         info = np.iinfo(dtype)
         if info.min < 0:  # signed: max(v / max, -1)
@@ -205,6 +238,59 @@ def read_accessor(gltf: dict, buffers: _Buffers, accessor_idx: int) -> np.ndarra
         else:
             out = out.astype(np.float32) / info.max
     return out
+
+
+def _uv_transform_matrix(offset, rotation, scale) -> np.ndarray:
+    """KHR_texture_transform: uv' = T * R * S * uv as a (2,3) affine matrix
+    (spec composition order; R rotates clockwise in UV space)."""
+    c = np.cos(rotation)
+    s = np.sin(rotation)
+    sx, sy = scale
+    ox, oy = offset
+    return np.asarray(
+        [[sx * c, sy * s, ox],
+         [-sx * s, sy * c, oy]], np.float32)
+
+
+def read_indices(gltf: dict, buffers: _Buffers, accessor_idx: int) -> np.ndarray:
+    """Index accessor -> (n,) uint32, via the native decoder when the data is
+    plain (the fastgltf iterateAccessor<uint32_t> analog, vk_loader.cpp:304-308)."""
+    acc = gltf["accessors"][accessor_idx]
+    if "sparse" not in acc and "bufferView" in acc and acc["type"] == "SCALAR":
+        from tpu_renderer.utils import native
+
+        raw, stride, _ = buffers.view_bytes(acc["bufferView"])
+        off = acc.get("byteOffset", 0)
+        out = native.decode_indices_u32(
+            raw[off:], acc["count"], acc["componentType"],
+            stride or _COMPONENT_SIZES[acc["componentType"]])
+        if out is not None:
+            return out
+    return read_accessor(gltf, buffers, accessor_idx).reshape(-1).astype(np.uint32)
+
+
+def _triangulate(idx: np.ndarray, mode: int) -> Optional[np.ndarray]:
+    """glTF primitive modes -> triangle list; None = non-triangle topology
+    (skipped with a warning — graceful degradation; the reference's pipeline
+    only ever draws TRIANGLE_LIST topology, vk_engine.cpp:1661)."""
+    if mode == 4:  # TRIANGLES
+        return idx
+    if mode == 5:  # TRIANGLE_STRIP: flip winding on odd triangles
+        n = idx.shape[0] - 2
+        if n <= 0:
+            return idx[:0]
+        i = np.arange(n)
+        a = np.where(i % 2 == 0, idx[i], idx[i + 1])
+        b = np.where(i % 2 == 0, idx[i + 1], idx[i])
+        return np.stack([a, b, idx[i + 2]], axis=1).reshape(-1).astype(np.uint32)
+    if mode == 6:  # TRIANGLE_FAN
+        n = idx.shape[0] - 2
+        if n <= 0:
+            return idx[:0]
+        i = np.arange(n)
+        return np.stack([np.broadcast_to(idx[0], (n,)), idx[i + 1], idx[i + 2]],
+                        axis=1).reshape(-1).astype(np.uint32)
+    return None  # POINTS / LINES / LINE_LOOP / LINE_STRIP
 
 
 def _decode_image(data: bytes) -> Optional[np.ndarray]:
@@ -298,10 +384,18 @@ def load_gltf(path: str) -> ParsedGLTF:
         )
         img_idx = None
         smp_idx = None
+        uv_tf = None
         if "baseColorTexture" in pbr:
-            tex = gltf["textures"][pbr["baseColorTexture"]["index"]]
+            bct = pbr["baseColorTexture"]
+            tex = gltf["textures"][bct["index"]]
             img_idx = tex.get("source")
             smp_idx = tex.get("sampler")
+            ktt = bct.get("extensions", {}).get("KHR_texture_transform")
+            if ktt is not None:
+                uv_tf = _uv_transform_matrix(
+                    ktt.get("offset", [0.0, 0.0]),
+                    ktt.get("rotation", 0.0),
+                    ktt.get("scale", [1.0, 1.0]))
         materials.append(
             ParsedMaterial(
                 name=m.get("name", ""),
@@ -310,6 +404,7 @@ def load_gltf(path: str) -> ParsedGLTF:
                 transparent=m.get("alphaMode") == "BLEND",
                 base_color_image=img_idx,
                 base_color_sampler=smp_idx,
+                uv_transform=uv_tf,
             )
         )
 
@@ -324,15 +419,20 @@ def load_gltf(path: str) -> ParsedGLTF:
         n_indices = 0
         n_vertices = 0
         for prim in mesh.get("primitives", []):
-            if prim.get("mode", 4) != 4:
-                raise NotImplementedError("only TRIANGLES primitives supported")
+            mode = prim.get("mode", 4)
             attrs = prim["attributes"]
             pos = read_accessor(gltf, buffers, attrs["POSITION"]).astype(np.float32)
             vcount = pos.shape[0]
             if "indices" in prim:
-                idx = read_accessor(gltf, buffers, prim["indices"]).reshape(-1).astype(np.uint32)
+                idx = read_indices(gltf, buffers, prim["indices"])
             else:
                 idx = np.arange(vcount, dtype=np.uint32)  # GenerateMeshIndices
+            idx = _triangulate(idx, mode)
+            if idx is None:
+                logging.getLogger(__name__).warning(
+                    "skipping non-triangle primitive (mode %d) in mesh %r",
+                    mode, mesh.get("name", ""))
+                continue
 
             nrm = np.tile(np.array([1, 0, 0], np.float32), (vcount, 1))
             if "NORMAL" in attrs:
@@ -344,6 +444,11 @@ def load_gltf(path: str) -> ParsedGLTF:
             uv = np.zeros((vcount, 2), np.float32)
             if "TEXCOORD_0" in attrs:
                 uv = read_accessor(gltf, buffers, attrs["TEXCOORD_0"]).astype(np.float32)[:, :2]
+            mat_i = prim.get("material")
+            if (mat_i is not None and mat_i < len(materials)
+                    and materials[mat_i].uv_transform is not None):
+                M = materials[mat_i].uv_transform
+                uv = (uv @ M[:, :2].T + M[:, 2]).astype(np.float32)
 
             start_index = n_indices
             indices_all.append(idx + np.uint32(n_vertices))

@@ -143,31 +143,27 @@ def build_atlas(images: List[np.ndarray], mipmapped=None,
     elif mipmapped is False:
         mipmapped = [False] * n
 
-    strips = []
+    chains = []
     meta = np.zeros((n, 6), np.int32)
     for i, img in enumerate(images):
         assert img.ndim == 3 and img.shape[2] == 4 and img.dtype == np.uint8
         chain = mip_chain(img, enabled=mipmapped[i])
         h0, w0 = img.shape[:2]
-        strip_q = np.zeros((h0, w0 * len(chain), 4), np.uint32)
-        for L, lvl in enumerate(chain):
-            q = _quad_rows(_pack_rgba8(lvl))
-            strip_q[: lvl.shape[0], L * w0: L * w0 + lvl.shape[1]] = q
         meta[i, 2] = w0
         meta[i, 3] = h0
         meta[i, 4] = len(chain)
-        strips.append(strip_q)
+        chains.append(chain)
 
-    widest = max(s.shape[1] for s in strips)
+    widest = max(c[0].shape[1] * len(c) for c in chains)
     aw = max(atlas_width, 1 << int(np.ceil(np.log2(widest))))
 
-    # shelf packing
+    # shelf packing of the (w0 * n_levels, h0) strips
     shelf_y = 0
     shelf_h = 0
     cursor_x = 0
     places = []
-    for s in strips:
-        h, w = s.shape[:2]
+    for c in chains:
+        h, w = c[0].shape[0], c[0].shape[1] * len(c)
         if cursor_x + w > aw:
             shelf_y += shelf_h
             cursor_x = 0
@@ -177,10 +173,19 @@ def build_atlas(images: List[np.ndarray], mipmapped=None,
         shelf_h = max(shelf_h, h)
     ah = ((shelf_y + shelf_h + 7) // 8) * 8
 
+    # bake levels straight into the atlas — the native path fuses RGBA8
+    # packing + quad prebake + placement in one C++ pass per level
+    from tpu_renderer.utils import native
+
     quads = np.zeros((ah, aw, 4), np.uint32)
-    for i, s in enumerate(strips):
+    for i, chain in enumerate(chains):
         x, y = places[i]
-        quads[y:y + s.shape[0], x:x + s.shape[1]] = s
+        w0 = meta[i, 2]
+        for L, lvl in enumerate(chain):
+            if not native.blit_quad_rows_u32(lvl, quads, x + L * w0, y):
+                q = _quad_rows(_pack_rgba8(lvl))
+                quads[y:y + lvl.shape[0],
+                      x + L * w0:x + L * w0 + lvl.shape[1]] = q
         meta[i, 0] = x
         meta[i, 1] = y
 
