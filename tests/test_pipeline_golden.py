@@ -30,7 +30,7 @@ def render(scene, *, view=None, proj=None, bg_effect=0,
         sun_color=jnp.asarray(sun_color, jnp.float32),
     )
     img, aux = render_frame(flat.buffers, params, width=width, height=height,
-                            entry_cap=4096, bin_cap=128)
+                            bin_cap=128)
     return np.asarray(img), aux
 
 
@@ -193,9 +193,9 @@ def test_fused_matches_deferred():
         sun_dir=jnp.asarray([0.2, 0.4, 0.9, 1], jnp.float32),
         sun_color=jnp.ones(4, jnp.float32))
     a, _ = render_frame(flat.buffers, params, width=W, height=H,
-                        entry_cap=4096, bin_cap=128, fused=True)
+                        bin_cap=128, fused=True)
     b, _ = render_frame(flat.buffers, params, width=W, height=H,
-                        entry_cap=4096, bin_cap=128, fused=False)
+                        bin_cap=128, fused=False)
     diff = np.abs(np.asarray(a).astype(int) - np.asarray(b).astype(int))
     assert diff.max() <= 1, f"max u8 diff {diff.max()}"
 
@@ -213,8 +213,8 @@ def test_fused_transparent_matches_deferred():
         sun_dir=jnp.asarray([0, 0, 1, 1], jnp.float32),
         sun_color=jnp.ones(4, jnp.float32))
     a, _ = render_frame(flat.buffers, params, width=W, height=H,
-                        entry_cap=4096, bin_cap=128, fused=True)
+                        bin_cap=128, fused=True)
     b, _ = render_frame(flat.buffers, params, width=W, height=H,
-                        entry_cap=4096, bin_cap=128, fused=False)
+                        bin_cap=128, fused=False)
     diff = np.abs(np.asarray(a).astype(int) - np.asarray(b).astype(int))
     assert diff.max() <= 1, f"max u8 diff {diff.max()}"

@@ -139,7 +139,7 @@ def test_binned_matches_full():
     cbins, _, overflow = raster.bin_triangles(
         caabb, cvalid,
         tiles_x=TILES_X, tiles_y=TILES_Y, tile_w=TILE_W, tile_h=TILE_H,
-        entry_cap=64, bin_cap=16,
+        bin_cap=16,
     )
     assert int(overflow) == 0
     bins, counts, overflow2 = raster.refine_bins(

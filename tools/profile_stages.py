@@ -59,7 +59,6 @@ def main():
     tile_h, tile_w = cfg.tile_h, cfg.tile_w
     wp, hp = pad_extent(width, height, tile_h, tile_w)
     tiles_x, tiles_y = wp // tile_w, hp // tile_h
-    entry_cap = caps.get("entry_cap", 1 << 15)
     bin_cap = caps.get("bin_cap", 512)
     tri_cap = caps.get("tri_cap", 1024)
 
@@ -100,8 +99,7 @@ def main():
             caabb, cvalid = raster.chunk_aabbs(setup.aabb, setup.valid)
             cbins, _, _ = raster.bin_triangles(
                 caabb, cvalid, tiles_x=tiles_x, tiles_y=tiles_y,
-                tile_w=tile_w, tile_h=tile_h, entry_cap=entry_cap,
-                bin_cap=bin_cap)
+                tile_w=tile_w, tile_h=tile_h, bin_cap=bin_cap)
             if upto == 2:
                 return checksum(cbins.astype(jnp.float32))
 
@@ -142,8 +140,7 @@ def main():
             tbin_cap = min(bin_cap, max(tt // raster.CHUNK, 1))
             cbins_t, ccounts_t, _ = raster.bin_triangles(
                 caabb_t, cvalid_t, tiles_x=tiles_x, tiles_y=tiles_y,
-                tile_w=tile_w, tile_h=tile_h, entry_cap=entry_cap,
-                bin_cap=tbin_cap)
+                tile_w=tile_w, tile_h=tile_h, bin_cap=tbin_cap)
             bins_t, counts_t = raster.expand_bins(cbins_t, ccounts_t)
             if upto == 6:
                 return checksum(bins_t.astype(jnp.float32))

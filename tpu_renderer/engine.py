@@ -79,12 +79,10 @@ class Engine:
         wp = -(-cfg.width // cfg.tile_w) * cfg.tile_w
         hp = -(-cfg.height // cfg.tile_h) * cfg.tile_h
         n_tiles = (wp // cfg.tile_w) * (hp // cfg.tile_h)
-        # every chunk could touch ~a few tiles; cap generously, power of two
-        entry_cap = 1 << max(12, min(18, int(np.ceil(np.log2(4 * n_chunks + n_tiles)))))
         # per-tile chunk-slot capacity; candidate table is n_tiles*bin_cap*CHUNK
         bin_cap = int(min(max(64, n_chunks), 512))
         tri_cap = 1024
-        self._caps = dict(entry_cap=entry_cap, bin_cap=bin_cap, tri_cap=tri_cap)
+        self._caps = dict(bin_cap=bin_cap, tri_cap=tri_cap)
 
     # -- per-frame ------------------------------------------------------------
 
@@ -180,25 +178,28 @@ class Engine:
         a = dict(zip(keys, vals.tolist()))
         self.stats.triangle_count = a.get("opaque_triangles", 0) + n_transp_tris
         self.stats.drawcall_count = a.get("visible_opaque_draws", 0) + n_transp_draws
-        overflow = a.get("bin_overflow", 0) + a.get("bin_overflow_transparent", 0)
-        if overflow:
+        transp_of = a.get("bin_overflow_transparent", 0)
+        chunk_of = a.get("bin_overflow", 0) + transp_of
+        tri_of = a.get("bin_overflow_tris", 0) + transp_of
+        if chunk_of or tri_of:
             import logging
 
             logging.getLogger(__name__).warning(
-                "bin overflow: %d entries dropped — escalating caps "
-                "(re-jits on the next frame)", overflow)
-            self._escalate_caps()
+                "bin overflow: %d chunk / %d tri entries dropped — escalating "
+                "caps (re-jits on the next frame)", chunk_of, tri_of)
+            self._escalate_caps(chunks=chunk_of > 0, tris=tri_of > 0)
 
-    def _escalate_caps(self) -> None:
-        """Dense-scene fallback: double the binning capacities (bounded).
-        The next frame re-jits with the larger static shapes; the analog of
-        the reference's growable descriptor pools (vk_descriptors.cpp:70-170).
+    def _escalate_caps(self, chunks: bool = True, tris: bool = True) -> None:
+        """Dense-scene fallback: double the OVERFLOWING binning capacity
+        only (bounded) — doubling both would widen the refine sort for
+        nothing. The next frame re-jits with the larger static shapes; the
+        analog of the reference's growable descriptor pools
+        (vk_descriptors.cpp:70-170).
         """
         c = self._caps
         self._caps = dict(
-            entry_cap=min(c["entry_cap"] * 2, 1 << 20),
-            bin_cap=min(c["bin_cap"] * 2, 4096),
-            tri_cap=min(c["tri_cap"] * 2, 8192),
+            bin_cap=min(c["bin_cap"] * 2, 4096) if chunks else c["bin_cap"],
+            tri_cap=min(c["tri_cap"] * 2, 16384) if tris else c["tri_cap"],
         )
 
     def _transp_textured(self) -> bool:

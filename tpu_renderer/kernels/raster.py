@@ -8,9 +8,9 @@ Architecture (blockwise over pixels — the TPU answer to SIMT scanline HW):
 1. Triangles are grouped into *chunks* of CHUNK consecutive triangles
    (submission order, so depth-tie semantics survive). glTF index buffers
    are spatially coherent, so chunk AABBs stay tight.
-2. ``bin_triangles`` (XLA) bins chunk AABBs to framebuffer tiles — a
-   cumsum/searchsorted expansion + one small ``lax.sort`` (a few thousand
-   entries instead of per-triangle millions).
+2. ``bin_triangles`` (XLA) bins chunk AABBs to framebuffer tiles — a dense
+   broadcast overlap test + row-wise sort compaction (gather-free; a few
+   thousand chunk columns instead of per-triangle millions).
 3. ``refine_bins`` (XLA) tightens chunk bins to per-TRIANGLE per-tile lists:
    packed tile-coordinate AABB tests (one u32 row gather per candidate) and
    row-wise-sort compaction — both chosen for TPU's per-index gather cost.
@@ -92,59 +92,54 @@ def chunk_aabbs(aabb, valid):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tiles_x", "tiles_y", "tile_w", "tile_h", "entry_cap", "bin_cap"),
+    static_argnames=("tiles_x", "tiles_y", "tile_w", "tile_h", "bin_cap"),
 )
 def bin_triangles(aabb, valid, *, tiles_x: int, tiles_y: int, tile_w: int,
-                  tile_h: int, entry_cap: int, bin_cap: int):
+                  tile_h: int, bin_cap: int):
     """Build per-tile bins from AABBs (normally *chunk* AABBs).
+
+    DENSE formulation: a broadcast (n_tiles, T) AABB-overlap test followed by
+    a row-wise single-array sort for compaction. No gathers, no global sort,
+    no entry budget — the old cumsum/searchsorted expansion needed a 1D sort
+    over an entry_cap-sized array (slow on TPU: a global sort vectorizes ~
+    100x worse than row-wise) plus escalation when entries overflowed. The
+    hit matrix is bound by n_tiles * n_chunks which stays small because items
+    are CHUNK-triangle groups.
 
     Returns (bins (n_tiles, bin_cap) i32 item ids padded with -1,
              counts (n_tiles,) i32 — clamped to bin_cap,
-             overflow () i32 — total entries dropped beyond caps).
+             overflow () i32 — total entries dropped beyond bin_cap).
     """
     T = aabb.shape[0]
     n_tiles = tiles_x * tiles_y
 
-    tx0 = jnp.maximum(jnp.floor(aabb[:, 0] / tile_w).astype(jnp.int32), 0)
-    ty0 = jnp.maximum(jnp.floor(aabb[:, 1] / tile_h).astype(jnp.int32), 0)
-    tx1 = jnp.minimum(jnp.floor(aabb[:, 2] / tile_w).astype(jnp.int32), tiles_x - 1)
-    ty1 = jnp.minimum(jnp.floor(aabb[:, 3] / tile_h).astype(jnp.int32), tiles_y - 1)
-    nx = jnp.maximum(tx1 - tx0 + 1, 0)
-    ny = jnp.maximum(ty1 - ty0 + 1, 0)
-    count = jnp.where(valid, nx * ny, 0)
+    packed = _pack_tile_aabb(aabb, tiles_x, tiles_y, tile_w, tile_h)
+    tiles = jnp.arange(n_tiles, dtype=jnp.int32)
+    tx = (tiles % tiles_x)[:, None]
+    ty = (tiles // tiles_x)[:, None]
+    x0 = (packed & 0xFF)[None, :]
+    y0 = ((packed >> 8) & 0xFF)[None, :]
+    x1 = ((packed >> 16) & 0xFF)[None, :]
+    y1 = ((packed >> 24) & 0xFF)[None, :]
+    hit = (valid[None, :] & (x0 <= x1)
+           & (x0 <= tx) & (x1 >= tx) & (y0 <= ty) & (y1 >= ty))
 
-    cum = jnp.cumsum(count)                      # inclusive
-    total = cum[-1]
-    offs = cum - count                           # exclusive
+    full_counts = jnp.sum(hit.astype(jnp.int32), axis=1)
+    eff_cap = min(bin_cap, T)
+    counts = jnp.minimum(full_counts, eff_cap)
 
-    e = jnp.arange(entry_cap, dtype=jnp.int32)
-    item_of_e = jnp.searchsorted(cum, e, side="right").astype(jnp.int32)
-    live = (e < total) & (item_of_e < T)
-    item_of_e = jnp.clip(item_of_e, 0, T - 1)
-    local = e - offs[item_of_e]
-    nx_t = jnp.maximum(nx[item_of_e], 1)
-    lx = local % nx_t
-    ly = local // nx_t
-    tile_of_e = (ty0[item_of_e] + ly) * tiles_x + (tx0[item_of_e] + lx)
-    tile_of_e = jnp.where(live, tile_of_e, n_tiles)  # dead entries sort last
-
-    tile_sorted, item_sorted = jax.lax.sort(
-        (tile_of_e, item_of_e), dimension=0, num_keys=2
-    )
-
-    tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
-    starts = jnp.searchsorted(tile_sorted, tile_ids, side="left").astype(jnp.int32)
-    ends = jnp.searchsorted(tile_sorted, tile_ids, side="right").astype(jnp.int32)
-    full_counts = ends - starts
-    counts = jnp.minimum(full_counts, bin_cap)
-
-    slot = jnp.arange(bin_cap, dtype=jnp.int32)
-    idx = starts[:, None] + slot[None, :]
-    in_bin = slot[None, :] < counts[:, None]
-    gathered = item_sorted[jnp.clip(idx, 0, entry_cap - 1)]
-    bins = jnp.where(in_bin, gathered, NO_TRI)
-
-    overflow = jnp.sum(full_counts - counts) + jnp.maximum(total - entry_cap, 0)
+    # compact by row-wise sort of ONE i32 array: hits keep their slot id
+    # (submission order), misses sort behind as T+slot
+    slot = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None, :],
+                            (n_tiles, T))
+    key = jnp.where(hit, slot, slot + T)
+    key_sorted = jax.lax.sort(key, dimension=1)
+    in_bin = jnp.arange(eff_cap, dtype=jnp.int32)[None, :] < counts[:, None]
+    bins = jnp.where(in_bin, key_sorted[:, :eff_cap], NO_TRI)
+    if eff_cap < bin_cap:
+        bins = jnp.pad(bins, ((0, 0), (0, bin_cap - eff_cap)),
+                       constant_values=NO_TRI)
+    overflow = jnp.sum(full_counts - counts)
     return bins, counts, overflow
 
 
@@ -199,7 +194,7 @@ def refine_bins(chunk_bins, aabb, *, tiles_x: int, tiles_y: int,
                 tile_w: int, tile_h: int, tri_cap: int):
     """Chunk bins -> tight per-TRIANGLE bins, entirely in XLA (no sort).
 
-    For every (tile, binned chunk) pair, test the 64 member triangles'
+    For every (tile, binned chunk) pair, test the CHUNK member triangles'
     AABBs against the tile's pixel-center bounds, then compact each tile's
     hits with a cumsum + searchsorted gather. Dead/culled triangles have
     empty AABBs and drop out here, so the raster loop sees only real work.
@@ -242,14 +237,17 @@ def refine_bins(chunk_bins, aabb, *, tiles_x: int, tiles_y: int,
 
     # Compaction by ROW-WISE sort (vectorizes across tiles — unlike a global
     # 1D sort, and unlike per-(tile,slot) gather chains, this is pure vector
-    # work): misses sort behind hits, ties keep candidate order, which is
-    # submission order.
+    # work). Candidate tri ids are ascending within a tile (bin_triangles
+    # emits chunk ids in ascending = submission order), so sorting the tri
+    # id itself keeps submission order AND needs only ONE sorted array
+    # (half the sort bandwidth of a (key, value) pair): misses sort behind
+    # every real id via a large offset.
     slot = jnp.broadcast_to(jnp.arange(ncand, dtype=jnp.int32)[None, :], tri.shape)
-    key = jnp.where(hit, slot, ncand + slot)
-    _, tri_sorted = jax.lax.sort((key, tri), dimension=1, num_keys=1)
+    key = jnp.where(hit, tri, jnp.int32(1 << 29) + slot)
+    key_sorted = jax.lax.sort(key, dimension=1)
 
     in_bin = jnp.arange(eff_cap, dtype=jnp.int32)[None, :] < counts[:, None]
-    tri_bins = jnp.where(in_bin, tri_sorted[:, :eff_cap], NO_TRI)
+    tri_bins = jnp.where(in_bin, key_sorted[:, :eff_cap], NO_TRI)
     overflow = jnp.sum(full_counts - counts)
     return tri_bins, counts, overflow
 

@@ -88,13 +88,13 @@ def _bg_sky(d1, hp: int, wp: int, height: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "height", "tile_h", "tile_w", "entry_cap",
+    static_argnames=("width", "height", "tile_h", "tile_w",
                      "bin_cap", "tri_cap", "fp16", "transp_textured",
                      "fused"),
 )
 def render_frame(buffers: SceneBuffers, params: FrameParams, *,
                  width: int, height: int, tile_h: int = 32, tile_w: int = 128,
-                 entry_cap: int = 1 << 15, bin_cap: int = 512,
+                 bin_cap: int = 512,
                  tri_cap: int = 1024, fp16: bool = True,
                  transp_textured: bool = True, fused: bool = True):
     """Render one frame. Returns ((H, W, 4) uint8 image, aux dict)."""
@@ -149,11 +149,10 @@ def render_frame(buffers: SceneBuffers, params: FrameParams, *,
         caabb, cvalid = raster.chunk_aabbs(setup.aabb, setup.valid)
         cbins, _, overflow_c = raster.bin_triangles(
             caabb, cvalid, tiles_x=tiles_x, tiles_y=tiles_y,
-            tile_w=tile_w, tile_h=tile_h, entry_cap=entry_cap, bin_cap=bin_cap)
+            tile_w=tile_w, tile_h=tile_h, bin_cap=bin_cap)
         bins, counts, overflow_t = raster.refine_bins(
             cbins, setup.aabb, tiles_x=tiles_x, tiles_y=tiles_y,
             tile_w=tile_w, tile_h=tile_h, tri_cap=tri_cap)
-        overflow = overflow_c + overflow_t
         rows = shade.build_shade_rows(setup.packed, setup.attrs, buffers.mat_meta)
         if fused:
             # fused raster: attributes interpolate inside the kernel; no
@@ -175,7 +174,8 @@ def render_frame(buffers: SceneBuffers, params: FrameParams, *,
             fb = q(shade.shade(
                 tid, rows, buffers.atlas, params.ambient[:3],
                 params.sun_dir[:3], params.sun_color[3], fb))
-        aux["bin_overflow"] = overflow
+        aux["bin_overflow"] = overflow_c
+        aux["bin_overflow_tris"] = overflow_t
         aux["opaque_triangles"] = jnp.sum(
             (setup.valid).astype(jnp.int32))
 
@@ -192,7 +192,7 @@ def render_frame(buffers: SceneBuffers, params: FrameParams, *,
         tbin_cap = min(bin_cap, max(tt // raster.CHUNK, 1))
         cbins_t, ccounts_t, overflow_tc = raster.bin_triangles(
             caabb_t, cvalid_t, tiles_x=tiles_x, tiles_y=tiles_y,
-            tile_w=tile_w, tile_h=tile_h, entry_cap=entry_cap, bin_cap=tbin_cap)
+            tile_w=tile_w, tile_h=tile_h, bin_cap=tbin_cap)
         if tt <= 4096:
             # small transparent sets: skip the refine pass; the peel loop
             # evaluates the few extra chunk members instead
@@ -278,7 +278,7 @@ def render_frame(buffers: SceneBuffers, params: FrameParams, *,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "height", "tile_h", "tile_w", "entry_cap",
+    static_argnames=("width", "height", "tile_h", "tile_w",
                      "bin_cap", "tri_cap", "fp16", "transp_textured"),
 )
 def render_frames(buffers: SceneBuffers, params_batch: FrameParams, **kw):
