@@ -27,19 +27,20 @@ def _params(**kw):
     return FrameParams(**d)
 
 
+@pytest.mark.parametrize("fused", [True, False])
 @pytest.mark.parametrize("rows,tri", [(2, 1), (1, 2), (2, 4)])
-def test_multichip_matches_single_chip(rows, tri):
+def test_multichip_matches_single_chip(rows, tri, fused):
     if len(jax.devices()) < rows * tri:
         pytest.skip("not enough devices")
     scene = milestones.colored_quad_scene(z0=0.4, z1=0.7)
     flat = flatten_scene(scene)
     params = _params()
     single, _ = render_frame(flat.buffers, params, width=W, height=H,
-                             entry_cap=4096, bin_cap=128)
+                             bin_cap=128, fused=fused)
     mesh = make_mesh(rows, tri)
     multi = render_frame_multichip(flat.buffers, params, mesh=mesh,
                                    width=W, height=H,
-                                   entry_cap=4096, bin_cap=128, peels=2)
+                                   bin_cap=128, fused=fused)
     np.testing.assert_array_equal(np.asarray(multi), np.asarray(single))
 
 
@@ -53,9 +54,59 @@ def test_multichip_transparent():
     params = _params(bg_data1=jnp.asarray([0.5, 0.25, 0.5, 1.0], jnp.float32),
                      bg_data2=jnp.asarray([0.5, 0.25, 0.5, 1.0], jnp.float32))
     single, _ = render_frame(flat.buffers, params, width=W, height=H,
-                             entry_cap=4096, bin_cap=128)
+                             bin_cap=128, transp_textured=False)
     mesh = make_mesh(2, 2)
     multi = render_frame_multichip(flat.buffers, params, mesh=mesh,
                                    width=W, height=H,
-                                   entry_cap=4096, bin_cap=128, peels=2)
+                                   bin_cap=128, transp_textured=False)
     np.testing.assert_array_equal(np.asarray(multi), np.asarray(single))
+
+
+def test_multichip_stacked_transparent_layers():
+    """3 stacked glass layers: the psum'd accumulation must match the
+    single-chip sum (f32 association differs across shards: 1 u8 step)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough devices")
+    import tpu_renderer.scene as sm
+
+    scene = milestones.colored_quad_scene(z0=0.5, z1=0.5)
+    scene.materials[-1].transparent = True
+    scene.colors = np.tile(np.array([0.1, 0.15, 0.05, 1], np.float32), (4, 1))
+    for k in range(2):
+        node = sm.MeshNode(0, f"l{k}")
+        node.refresh_transform(np.eye(4, dtype=np.float32))
+        scene.nodes.append(node)
+        scene.top_nodes.append(node)
+    flat = flatten_scene(scene)
+    params = _params(bg_data1=jnp.asarray([0.2, 0.2, 0.2, 1.0], jnp.float32),
+                     bg_data2=jnp.asarray([0.2, 0.2, 0.2, 1.0], jnp.float32))
+    single, _ = render_frame(flat.buffers, params, width=W, height=H,
+                             bin_cap=128, transp_textured=False)
+    mesh = make_mesh(2, 2)
+    multi = render_frame_multichip(flat.buffers, params, mesh=mesh,
+                                   width=W, height=H,
+                                   bin_cap=128, transp_textured=False)
+    diff = np.abs(np.asarray(multi).astype(int) - np.asarray(single).astype(int))
+    assert diff.max() <= 1, f"max u8 diff {diff.max()}"
+
+
+def test_multichip_textured_transparent_unbounded():
+    """Textured-transparent goes through the per-shard peel while_loop."""
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough devices")
+    tex = np.full((4, 4, 4), 255, np.uint8)
+    tex[..., 0] = 128
+    scene = milestones.textured_quad_scene(tex, nearest=True, mipmapped=False)
+    scene.materials[-1].transparent = True
+    flat = flatten_scene(scene, mipmapped=False)
+    params = _params(bg_data1=jnp.asarray([0.1, 0.1, 0.1, 1.0], jnp.float32),
+                     bg_data2=jnp.asarray([0.1, 0.1, 0.1, 1.0], jnp.float32))
+    single, _ = render_frame(flat.buffers, params, width=W, height=H,
+                             bin_cap=128, transp_textured=True, fused=False)
+    mesh = make_mesh(2, 2)
+    multi = render_frame_multichip(flat.buffers, params, mesh=mesh,
+                                   width=W, height=H,
+                                   bin_cap=128, transp_textured=True,
+                                   fused=False)
+    diff = np.abs(np.asarray(multi).astype(int) - np.asarray(single).astype(int))
+    assert diff.max() <= 1, f"max u8 diff {diff.max()}"

@@ -82,13 +82,15 @@ def _background_band(params, y0, band_h: int, wp: int, height: int):
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "width", "height", "tile_h", "tile_w",
-                     "entry_cap", "bin_cap", "tri_cap", "peels", "fp16"),
+                     "bin_cap", "tri_cap", "fp16", "transp_textured",
+                     "fused"),
 )
 def render_frame_multichip(buffers: SceneBuffers, params: FrameParams, *,
                            mesh: Mesh, width: int, height: int,
                            tile_h: int = 32, tile_w: int = 128,
-                           entry_cap: int = 1 << 14, bin_cap: int = 256,
-                           tri_cap: int = 1024, peels: int = 2, fp16: bool = True):
+                           bin_cap: int = 256,
+                           tri_cap: int = 1024, fp16: bool = True,
+                           transp_textured: bool = True, fused: bool = True):
     """Sharded frame: scene replicated, framebuffer sharded over 'rows',
     triangles sharded over 'tri'. Returns the (H, W, 4) uint8 image."""
     n_rows = mesh.shape["rows"]
@@ -152,7 +154,7 @@ def render_frame_multichip(buffers: SceneBuffers, params: FrameParams, *,
             caabb, cvalid = raster.chunk_aabbs(aabb_l, setup.valid)
             cbins, _, _ = raster.bin_triangles(
                 caabb, cvalid, tiles_x=tiles_x, tiles_y=tiles_y_band,
-                tile_w=tile_w, tile_h=tile_h, entry_cap=entry_cap,
+                tile_w=tile_w, tile_h=tile_h,
                 bin_cap=bin_cap)
             bins, counts, _ = raster.refine_bins(
                 cbins, aabb_l, tiles_x=tiles_x, tiles_y=tiles_y_band,
@@ -161,51 +163,96 @@ def render_frame_multichip(buffers: SceneBuffers, params: FrameParams, *,
 
         # opaque: local raster + sort-last composite over 'tri'
         setup, packed_l, aabb_l, bins, counts = raster_set(ov, od, oval, vis)
-        z, tid_local = raster.rasterize(
-            packed_l, bins, counts, tiles_x=tiles_x,
-            tiles_y=tiles_y_band, tile_w=tile_w, tile_h=tile_h)
-        # local ids -> global ids (chunk-sharded: global = local + shard0)
         t_shard = ov.shape[0]
-        tid = jnp.where(tid_local >= 0, tid_local + tri_idx * t_shard, -1)
-        zmax = jax.lax.pmax(z, "tri")
-        tid = jnp.where(z == zmax, tid, -1)
-        tid = jax.lax.pmax(tid, "tri")
-        z = zmax
-
-        # deferred shade needs the winning triangle's shade row: rows live on
-        # the owning 'tri' shard; all_gather the (small) shade tables.
-        rows_local = shade.build_shade_rows(packed_l, setup.attrs, buffers.mat_meta)
-        rows_all = jax.lax.all_gather(rows_local, "tri", axis=0, tiled=True)
-        fb = q(shade.shade(tid, rows_all, buffers.atlas,
-                           params.ambient[:3], params.sun_dir[:3],
-                           params.sun_color[3], fb))
+        rows_local = shade.build_shade_rows(packed_l, setup.attrs,
+                                            buffers.mat_meta)
+        if fused:
+            z, tid_local, attrs_l, meta_l = raster.rasterize_fused(
+                rows_local, bins, counts, tiles_x=tiles_x,
+                tiles_y=tiles_y_band, tile_w=tile_w, tile_h=tile_h)
+            tid = jnp.where(tid_local >= 0, tid_local + tri_idx * t_shard, -1)
+            zmax = jax.lax.pmax(z, "tri")
+            cand = jnp.where(z == zmax, tid, -1)
+            tid_win = jax.lax.pmax(cand, "tri")
+            z = zmax
+            # exactly one shard holds the winner's interpolated attributes:
+            # psum the masked planes instead of all_gather + per-pixel gather
+            win = (cand == tid_win) & (tid_win >= 0)
+            planes = jnp.concatenate([attrs_l, meta_l], axis=0)  # (14, bh, wp)
+            planes = jax.lax.psum(jnp.where(win[None], planes, 0.0), "tri")
+            shaded = shade.shade_fused(
+                planes[:8], planes[8:], buffers.atlas, params.ambient[:3],
+                params.sun_dir[:3], params.sun_color[3])
+            valid = tid_win >= 0
+            rgb = jnp.where(valid[None], jnp.moveaxis(shaded, -1, 0), fb[:3])
+            alpha = jnp.where(valid, jnp.float32(1.0), fb[3])
+            fb = q(jnp.concatenate([rgb, alpha[None]], axis=0))
+        else:
+            z, tid_local = raster.rasterize(
+                packed_l, bins, counts, tiles_x=tiles_x,
+                tiles_y=tiles_y_band, tile_w=tile_w, tile_h=tile_h)
+            # local ids -> global ids (chunk-sharded: global = local + shard0)
+            tid = jnp.where(tid_local >= 0, tid_local + tri_idx * t_shard, -1)
+            zmax = jax.lax.pmax(z, "tri")
+            tid = jnp.where(z == zmax, tid, -1)
+            tid = jax.lax.pmax(tid, "tri")
+            z = zmax
+            # deferred shade needs the winning triangle's shade row: rows live
+            # on the owning 'tri' shard; all_gather the (small) shade tables.
+            rows_all = jax.lax.all_gather(rows_local, "tri", axis=0, tiled=True)
+            fb = q(shade.shade(tid, rows_all, buffers.atlas,
+                               params.ambient[:3], params.sun_dir[:3],
+                               params.sun_color[3], fb))
 
         # transparent: additive => psum partial contributions over 'tri'
+        # (the same order-independent-sum semantics as the single-chip path;
+        # a psum'd fragment COUNT drives the dstAlpha composite so a fragment
+        # that shades to exactly black still counts as coverage)
         if tt > 0:
             all_vis = jnp.ones_like(vis)
             setup_t, packed_tl, aabb_tl, bins_t, counts_t = raster_set(
                 tv, td, tval, all_vis)
             rows_t = shade.build_shade_rows(packed_tl, setup_t.attrs,
                                             buffers.mat_meta)
-            delta = jnp.zeros_like(fb[:3])
-            last = jnp.full(z.shape, -1, jnp.int32)
-            for _ in range(peels):
-                layer = raster.rasterize_peel(
-                    packed_tl, bins_t, counts_t, z, last,
+            if fused and not transp_textured:
+                light = jnp.concatenate([
+                    params.sun_dir[:3], params.sun_color[3:4],
+                    params.ambient[:3], jnp.zeros(1, jnp.float32)])
+                delta, cnt = raster.rasterize_accum_fused(
+                    rows_t, bins_t, counts_t, z, light,
                     tiles_x=tiles_x, tiles_y=tiles_y_band,
                     tile_w=tile_w, tile_h=tile_h)
-                found = layer < raster.ID_INF
-                tl_layer = jnp.where(found, layer, 0)
-                src = shade.shade_core(
-                    tl_layer, rows_t, buffers.atlas, params.ambient[:3],
-                    params.sun_dir[:3], params.sun_color[3])
-                src = jnp.where(found[None], jnp.moveaxis(src, -1, 0), 0.0)
-                delta = delta + src
-                last = jnp.where(found, layer, raster.ID_INF)
+            else:
+                # textured: peel the local shard until dry (unbounded)
+                def peel_body(carry):
+                    delta, cnt, last, _ = carry
+                    layer = raster.rasterize_peel(
+                        packed_tl, bins_t, counts_t, z, last,
+                        tiles_x=tiles_x, tiles_y=tiles_y_band,
+                        tile_w=tile_w, tile_h=tile_h)
+                    found = layer < raster.ID_INF
+                    tl_layer = jnp.where(found, layer, 0)
+                    src = shade.shade_core(
+                        tl_layer, rows_t, buffers.atlas, params.ambient[:3],
+                        params.sun_dir[:3], params.sun_color[3],
+                        textured=transp_textured)
+                    src = jnp.where(found[None], jnp.moveaxis(src, -1, 0), 0.0)
+                    delta = delta + src
+                    cnt = cnt + found.astype(jnp.int32)
+                    last = jnp.where(found, layer, raster.ID_INF)
+                    return delta, cnt, last, found.any()
+
+                init = (jnp.zeros_like(fb[:3]),
+                        jnp.zeros(z.shape, jnp.int32),
+                        jnp.full(z.shape, -1, jnp.int32),
+                        jnp.asarray(True))
+                delta, cnt, _, _ = jax.lax.while_loop(
+                    lambda c: c[3], peel_body, init)
             delta = jax.lax.psum(delta, "tri")
-            any_t = delta.sum(0) > 0
-            rgb = jnp.where(any_t[None], q(delta + fb[:3] * fb[3][None]), fb[:3])
-            alpha = jnp.where(any_t, 1.0, fb[3])
+            cnt = jax.lax.psum(cnt, "tri")
+            covered = cnt > 0
+            rgb = jnp.where(covered[None], q(delta + fb[:3] * fb[3][None]), fb[:3])
+            alpha = jnp.where(covered, 1.0, fb[3])
             fb = jnp.concatenate([rgb, alpha[None]], axis=0)
 
         return fb
