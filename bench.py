@@ -79,7 +79,20 @@ def _run() -> int:
     _ = np.asarray(sums)
     final = np.asarray(image)
     dt = time.perf_counter() - t0
-    _, aux = eng.draw_device(param_list[-1])
+
+    # Interactive mode: the reference's live loop analog — per-frame host
+    # camera update + dispatch + a forced device sync every frame. In this
+    # environment every sync is a multi-ms tunnel round trip (a directly
+    # attached TPU pays microseconds), so this bounds the scan number from
+    # below rather than replacing it.
+    import jax.numpy as _jnp
+
+    t1 = time.perf_counter()
+    for i in range(frames):
+        eng.camera.yaw = np.float32(0.002 * i)
+        img_dev, aux = eng.draw_device(eng.update_scene())
+        float(_jnp.sum(img_dev[::191, ::127, 0].astype(_jnp.int32)))
+    dt_inter = time.perf_counter() - t1
     eng._update_stats(aux)
 
     fps = frames / dt
@@ -90,6 +103,8 @@ def _run() -> int:
         "vs_baseline": round(fps / 60.0, 3),
         "detail": {
             "frame_ms": round(1000 * dt / frames, 2),
+            "interactive_fps": round(frames / dt_inter, 2),
+            "interactive_frame_ms": round(1000 * dt_inter / frames, 2),
             "triangles": eng.stats.triangle_count,
             "mtris_per_sec": round(eng.stats.triangle_count * fps / 1e6, 2),
             "drawcalls": eng.stats.drawcall_count,

@@ -37,12 +37,33 @@ def scenes():
     yield "textured", milestones.textured_quad_scene(checker_texture(32, 4)), {}
 
 
+def render_structure_1080p():
+    """Flagship full-scene golden: the structure scene through the whole
+    loader + engine path at full 1080p (the reference's structure.glb flow,
+    vk_engine.cpp:196-200)."""
+    import tempfile
+
+    from tpu_renderer.config import RendererConfig
+    from tpu_renderer.engine import Engine
+    from tpu_renderer.utils.demo import build_structure_glb
+
+    path = os.path.join(tempfile.gettempdir(), "structure_golden.glb")
+    build_structure_glb(path, seed=0)
+    cfg = RendererConfig(width=1920, height=1080, background_effect=1,
+                         camera_position=(0.0, 10.0, 42.0))
+    eng = Engine(cfg)
+    eng.camera.pitch = np.float32(-0.18)
+    eng.init(scene_path=path)
+    return np.asarray(eng.draw(hud=False))
+
+
 def render_all():
     from tests.test_pipeline_golden import render
 
     for name, scene, kw in scenes():
         img, _ = render(scene, **kw)
         yield name, np.asarray(img)
+    yield "structure_1080p", render_structure_1080p()
 
 
 if __name__ == "__main__":

@@ -16,7 +16,7 @@ import time
 
 import numpy as np
 
-from tpu_renderer import milestones
+from tpu_renderer import milestones, resources
 from tpu_renderer.config import RendererConfig
 from tpu_renderer.engine import Engine
 from tpu_renderer.present import save_png
@@ -73,12 +73,19 @@ def cmd_demo(args) -> int:
 
 
 def cmd_milestone(args) -> int:
+    # the five BASELINE.json milestone configs; textured_quad uses the
+    # checkerboard placeholder so it runs without an asset argument
     builders = {
         "colored_triangle": milestones.colored_triangle_scene,
         "colored_quad": milestones.colored_quad_scene,
-        "background_gradient": None,
-        "background_sky": None,
+        "textured_quad": lambda: milestones.textured_quad_scene(
+            resources.make_error_checkerboard()),
+        "background_gradient": None,  # background-only frame, gradient effect
+        "background_sky": None,       # background-only frame, sky effect
     }
+    if args.name == "--list" or args.name == "list":
+        print("\n".join(builders))
+        return 0
     if args.name not in builders:
         print(f"unknown milestone {args.name}; choices: {list(builders)}")
         return 1
