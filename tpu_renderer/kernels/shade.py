@@ -81,36 +81,8 @@ def _quad_derivatives(uv):
     return dx.reshape(h, w, 2), dy.reshape(h, w, 2)
 
 
-def _sample_level(atlas, base_x, base_y, w0, h0, level, uv, linear):
-    """One mip tap = ONE quad-row gather + elementwise filtering.
-
-    Analytic addressing: level L sits at x = base_x + L*w0 with size
-    (w0>>L, h0>>L). `linear` selects bilinear vs nearest per pixel.
-    """
-    li = level.astype(jnp.int32)
-    wl = jnp.maximum(w0.astype(jnp.int32) >> li, 1)
-    hl = jnp.maximum(h0.astype(jnp.int32) >> li, 1)
-    ex = base_x.astype(jnp.int32) + li * w0.astype(jnp.int32)
-    ey = base_y.astype(jnp.int32)
-
-    wf = wl.astype(jnp.float32)
-    hf = hl.astype(jnp.float32)
-    su = uv[..., 0] * wf - 0.5
-    sv = uv[..., 1] * hf - 0.5
-    x0 = jnp.floor(su).astype(jnp.int32)
-    y0 = jnp.floor(sv).astype(jnp.int32)
-    fu = su - x0
-    fv = sv - y0
-    x0w = jnp.mod(x0, wl)
-    y0w = jnp.mod(y0, hl)
-
-    flat = (ey + y0w) * atlas.width + (ex + x0w)
-    quad = atlas.quads[flat]                       # (..., 4) u32 — THE gather
-    t00 = _unpack_rgb(quad[..., 0])
-    t10 = _unpack_rgb(quad[..., 1])
-    t01 = _unpack_rgb(quad[..., 2])
-    t11 = _unpack_rgb(quad[..., 3])
-
+def _filter_quad(t00, t10, t01, t11, fu, fv, linear):
+    """Bilinear or nearest over one 2x2 quad (texel fractions fu, fv)."""
     fu_ = fu[..., None]
     fv_ = fv[..., None]
     bilin = (t00 * (1 - fu_) * (1 - fv_) + t10 * fu_ * (1 - fv_)
@@ -120,6 +92,35 @@ def _sample_level(atlas, base_x, base_y, w0, h0, level, uv, linear):
     ny = (fv >= 0.5)[..., None]
     near = jnp.where(nx, jnp.where(ny, t11, t10), jnp.where(ny, t01, t00))
     return jnp.where(linear[..., None], bilin, near)
+
+
+def _level_coords(w0, h0, li, uv):
+    """Texel addressing at mip level li: wrapped quad top-left + fractions."""
+    wl = jnp.maximum(w0.astype(jnp.int32) >> li, 1)
+    hl = jnp.maximum(h0.astype(jnp.int32) >> li, 1)
+    su = uv[..., 0] * wl.astype(jnp.float32) - 0.5
+    sv = uv[..., 1] * hl.astype(jnp.float32) - 0.5
+    x0 = jnp.floor(su).astype(jnp.int32)
+    y0 = jnp.floor(sv).astype(jnp.int32)
+    return wl, hl, jnp.mod(x0, wl), jnp.mod(y0, hl), su - x0, sv - y0
+
+
+def _sample_level(atlas, base_x, base_y, w0, h0, level, uv, linear):
+    """One mip tap = ONE quad-row gather + elementwise filtering.
+
+    Analytic addressing: level L sits at x = base_x + L*w0 with size
+    (w0>>L, h0>>L). `linear` selects bilinear vs nearest per pixel.
+    """
+    li = level.astype(jnp.int32)
+    wl, hl, x0w, y0w, fu, fv = _level_coords(w0, h0, li, uv)
+    ex = base_x.astype(jnp.int32) + li * w0.astype(jnp.int32)
+    ey = base_y.astype(jnp.int32)
+
+    flat = (ey + y0w) * atlas.width + (ex + x0w)
+    quad = atlas.quads[flat]                       # (..., 4) u32 — THE gather
+    return _filter_quad(_unpack_rgb(quad[..., 0]), _unpack_rgb(quad[..., 1]),
+                        _unpack_rgb(quad[..., 2]), _unpack_rgb(quad[..., 3]),
+                        fu, fv, linear)
 
 
 def sample_texture(atlas, base_x, base_y, w0, h0, n_levels, flags, uv):
@@ -148,6 +149,9 @@ def sample_texture(atlas, base_x, base_y, w0, h0, n_levels, flags, uv):
     min_lin = (fl & FILTER_MIN_LINEAR) != 0
     linear = jnp.where(lod > 0.0, min_lin, mag_lin)
 
+    # two quad-row taps; a single-gather 16-u32 "trilinear row" variant was
+    # measured 4x SLOWER (gather cost scales with row bytes beyond ~16 B on
+    # this hardware) — see docs/PERF.md
     ca = _sample_level(atlas, base_x, base_y, w0, h0, lev_a, uv, linear)
     cb = _sample_level(atlas, base_x, base_y, w0, h0, lev_b, uv, linear)
     return ca * (1.0 - frac[..., None]) + cb * frac[..., None]

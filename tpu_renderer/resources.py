@@ -3,8 +3,9 @@ texture uploads and mip generation (vk_engine.cpp:308-338, 1537-1617,
 vk_images.cpp:66-133) plus upload_mesh (vk_engine.cpp:340-390).
 
 Texture storage is designed around one hard TPU constraint: *every indexed
-(gathered) operation costs ~tens of ns per index regardless of row width*.
-So texture state is laid out so that one frame needs exactly one gather per
+(gathered) operation costs ~tens of ns per index, flat up to ~16-byte rows
+(wider rows cost extra: 64 B rows measured ~4x — docs/PERF.md)*. So texture
+state is laid out so that one frame needs exactly one 16-byte-row gather per
 sampled mip level:
 
 * **Analytic atlas layout**: each texture is a horizontal strip — mip level
@@ -24,7 +25,7 @@ placeholder (vk_loader.cpp:224-229).
 
 from __future__ import annotations
 
-from typing import List, NamedTuple
+from typing import List, NamedTuple, Optional
 
 import jax.numpy as jnp
 import numpy as np
@@ -127,6 +128,11 @@ class TextureAtlas(NamedTuple):
     width: int               # WA (static)
     tex_meta: jnp.ndarray    # (n_tex, 6) i32 — base_x, base_y, w0, h0,
     #                          n_levels, 0 (spare)
+    # (Measured dead end, kept for the record: a 16-u32 "trilinear row"
+    # variant served both mip taps from ONE gather, but 64 B-row gathers cost
+    # ~4x two 16 B-row gathers on this hardware — 184 ms vs 85 ms frames.
+    # Gather cost scales with row bytes beyond ~16 B; see docs/PERF.md.)
+    tri_quads: Optional[jnp.ndarray] = None
 
 
 def build_atlas(images: List[np.ndarray], mipmapped=None,
@@ -134,7 +140,8 @@ def build_atlas(images: List[np.ndarray], mipmapped=None,
     """Shelf-pack textures as analytic mip strips into one quad atlas.
 
     images: list of (h, w, 4) uint8. mipmapped: per-texture bools (or one
-    bool / None = all mipmapped).
+    bool / None = all mipmapped). atlas_width caps the atlas width (the
+    actual width is the power-of-two cover of the widest mip strip).
     """
     assert images, "atlas needs at least one image"
     n = len(images)
@@ -155,7 +162,7 @@ def build_atlas(images: List[np.ndarray], mipmapped=None,
         chains.append(chain)
 
     widest = max(c[0].shape[1] * len(c) for c in chains)
-    aw = max(atlas_width, 1 << int(np.ceil(np.log2(widest))))
+    aw = max(128, 1 << int(np.ceil(np.log2(widest))))
 
     # shelf packing of the (w0 * n_levels, h0) strips
     shelf_y = 0
