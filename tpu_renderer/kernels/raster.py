@@ -510,8 +510,14 @@ def _raster_fused_kernel(counts_ref, rows_ref, z_ref, tid_ref, attr_ref,
     n = counts_ref[tile, 0]
     X, Y = _tile_coords(i, j, tile_h, tile_w)
 
+    # ids are implicit: the caller stores the global tri id in column 47
+    def rows_ids_global(k):
+        return rows_ref[0, k, 47].astype(jnp.int32)
+
     def tri_body(k4, carry):
         z, tid, csum, nums, metas = carry
+        takes = []
+        covs = []
         for u in range(_UNROLL):
             k = k4 * _UNROLL + u
             r = lambda col, _k=k: rows_ref[0, _k, col]  # noqa: E731
@@ -529,19 +535,41 @@ def _raster_fused_kernel(counts_ref, rows_ref, z_ref, tid_ref, attr_ref,
             take = cov & (zv >= z) & (k < n)
             z = jnp.where(take, zv, z)
             tid = jnp.where(take, rows_ids_global(k), tid)
-            csum = jnp.where(take, c0v + c1v + c2v, csum)
-            new_nums = []
-            for a in range(8):
-                num = (c0v * r(13 + a) + c1v * r(21 + a) + c2v * r(29 + a))
-                new_nums.append(jnp.where(take, num, nums[a]))
-            nums = tuple(new_nums)
-            metas = tuple(
-                jnp.where(take, r(37 + m), metas[m]) for m in range(6))
-        return z, tid, csum, nums, metas
+            takes.append(take)
+            covs.append((c0v, c1v, c2v))
 
-    # ids are implicit: the caller stores the global tri id in column 47
-    def rows_ids_global(k):
-        return rows_ref[0, k, 47].astype(jnp.int32)
+        # The attribute-interpolation block (8 numerator planes + 6 meta
+        # planes = ~4x the visibility cost) only runs when at least one of
+        # the _UNROLL triangles won a pixel. One any() reduce + branch per
+        # GROUP keeps the skip overhead small on winner-dense tiles while
+        # overdraw-heavy tiles (most candidates lose the depth test) pay
+        # per WINNER-GROUP instead of per candidate.
+        group_any = takes[0]
+        for t in takes[1:]:
+            group_any = group_any | t
+
+        def attr_taken(args):
+            csum, nums, metas = args
+            for u in range(_UNROLL):
+                k = k4 * _UNROLL + u
+                r = lambda col, _k=k: rows_ref[0, _k, col]  # noqa: E731
+                take = takes[u]
+                c0v, c1v, c2v = covs[u]
+                csum = jnp.where(take, c0v + c1v + c2v, csum)
+                new_nums = []
+                for a in range(8):
+                    num = (c0v * r(13 + a) + c1v * r(21 + a)
+                           + c2v * r(29 + a))
+                    new_nums.append(jnp.where(take, num, nums[a]))
+                nums = tuple(new_nums)
+                metas = tuple(
+                    jnp.where(take, r(37 + m), metas[m]) for m in range(6))
+            return csum, nums, metas
+
+        csum, nums, metas = jax.lax.cond(
+            jnp.any(group_any), attr_taken, lambda args: args,
+            (csum, nums, metas))
+        return z, tid, csum, nums, metas
 
     z0 = jnp.full((tile_h, tile_w), DEPTH_CLEAR, jnp.float32)
     tid0 = jnp.full((tile_h, tile_w), NO_TRI, jnp.int32)
@@ -615,6 +643,177 @@ def rasterize_fused(fat_rows, bins, counts, *, tiles_x: int, tiles_y: int,
     return z, tid, attrs, meta
 
 
+def _raster_chunks_kernel(counts_ref, bins_ref, rows_hbm, z_ref, tid_ref,
+                          attr_ref, meta_ref, scratch_ref, sem_ref, *,
+                          tiles_x: int, tile_h: int, tile_w: int):
+    """Fused raster that streams fat rows from HBM per binned CHUNK.
+
+    Instead of an XLA-side (n_tiles, tri_cap) row gather (pays per dead slot
+    and caps per-tile capacity), each tile walks its chunk-bin list and DMAs
+    the chunk's CHUNK x 64-f32 row block HBM -> VMEM, double-buffered so the
+    copy of chunk k+1 overlaps the raster of chunk k. The loop bound is the
+    tile's REAL chunk count — empty tiles cost nothing.
+    """
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    tile = i * tiles_x + j
+    n = counts_ref[tile, 0]
+    X, Y = _tile_coords(i, j, tile_h, tile_w)
+
+    def copy(k, slot):
+        cid = bins_ref[0, k, 0]
+        return pltpu.make_async_copy(
+            rows_hbm.at[cid],
+            scratch_ref.at[pl.ds(slot * CHUNK, CHUNK)],
+            sem_ref.at[slot])
+
+    @pl.when(n > 0)
+    def _():
+        copy(0, 0).start()
+
+    def chunk_body(k, carry):
+        z, tid, csum, nums, metas = carry
+        slot = jax.lax.rem(k, 2)
+
+        @pl.when(k + 1 < n)
+        def _():
+            copy(k + 1, 1 - slot).start()
+
+        copy(k, slot).wait()
+        base = slot * CHUNK
+
+        takes = []
+        covs = []
+        for t in range(CHUNK):
+            r = lambda col, _t=t: scratch_ref[base + _t, col]  # noqa: E731
+            c0v = r(0) * X + r(1) * Y + r(2)
+            c1v = r(3) * X + r(4) * Y + r(5)
+            c2v = r(6) * X + r(7) * Y + r(8)
+            tl0 = (r(0) > 0.0) | ((r(0) == 0.0) & (r(1) > 0.0))
+            tl1 = (r(3) > 0.0) | ((r(3) == 0.0) & (r(4) > 0.0))
+            tl2 = (r(6) > 0.0) | ((r(6) == 0.0) & (r(7) > 0.0))
+            cov = (((c0v > 0.0) | ((c0v == 0.0) & tl0))
+                   & ((c1v > 0.0) | ((c1v == 0.0) & tl1))
+                   & ((c2v > 0.0) | ((c2v == 0.0) & tl2)))
+            zv = r(9) * X + r(10) * Y + r(11)
+            cov &= (zv >= 0.0) & (zv <= 1.0)
+            # padding rows inside a partially-valid chunk have zero edge
+            # planes (never covered), so no (k < n)-style mask per triangle
+            take = cov & (zv >= z)
+            z = jnp.where(take, zv, z)
+            tid = jnp.where(take, r(47).astype(jnp.int32), tid)
+            takes.append(take)
+            covs.append((c0v, c1v, c2v))
+
+        group_any = takes[0]
+        for t in takes[1:]:
+            group_any = group_any | t
+
+        def attr_taken(args):
+            csum, nums, metas = args
+            for t in range(CHUNK):
+                r = lambda col, _t=t: scratch_ref[base + _t, col]  # noqa: E731
+                take = takes[t]
+                c0v, c1v, c2v = covs[t]
+                csum = jnp.where(take, c0v + c1v + c2v, csum)
+                new_nums = []
+                for a in range(8):
+                    num = (c0v * r(13 + a) + c1v * r(21 + a)
+                           + c2v * r(29 + a))
+                    new_nums.append(jnp.where(take, num, nums[a]))
+                nums = tuple(new_nums)
+                metas = tuple(
+                    jnp.where(take, r(37 + m), metas[m]) for m in range(6))
+            return csum, nums, metas
+
+        csum, nums, metas = jax.lax.cond(
+            jnp.any(group_any), attr_taken, lambda args: args,
+            (csum, nums, metas))
+        return z, tid, csum, nums, metas
+
+    z0 = jnp.full((tile_h, tile_w), DEPTH_CLEAR, jnp.float32)
+    tid0 = jnp.full((tile_h, tile_w), NO_TRI, jnp.int32)
+    cs0 = jnp.ones((tile_h, tile_w), jnp.float32)
+    nums0 = tuple(jnp.zeros((tile_h, tile_w), jnp.float32) for _ in range(8))
+    metas0 = tuple(jnp.zeros((tile_h, tile_w), jnp.float32) for _ in range(6))
+    z1, tid1, cs1, nums1, metas1 = jax.lax.fori_loop(
+        0, n, chunk_body, (z0, tid0, cs0, nums0, metas0))
+    z_ref[:, :] = z1
+    tid_ref[:, :] = tid1
+    inv = jnp.where(cs1 != 0.0, 1.0 / cs1, 0.0)
+    for a in range(8):
+        attr_ref[a, :, :] = nums1[a] * inv
+    for m in range(6):
+        meta_ref[m, :, :] = metas1[m]
+
+
+ROW_PAD = 128  # fat rows padded 48 -> 128 f32: Mosaic requires HBM slice
+#                shapes 128-aligned on the minor dimension (the chunk block
+#                is then a 4 KiB aligned contiguous slice)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tiles_x", "tiles_y", "tile_w", "tile_h"),
+)
+def rasterize_fused_chunks(fat_rows, cbins, ccounts, *, tiles_x: int,
+                           tiles_y: int, tile_w: int, tile_h: int):
+    """Fused raster from CHUNK bins (no refine pass, no XLA row gather).
+
+    fat_rows: (T, 48) f32, T % CHUNK == 0 (column 47 gets the global id).
+    cbins/ccounts: bin_triangles output over chunk AABBs.
+    Returns (z, tid, attrs (8,Hp,Wp), meta (6,Hp,Wp)).
+    """
+    T = fat_rows.shape[0]
+    C = T // CHUNK
+    n_tiles, bcap = cbins.shape
+    bcap_pad = cdiv(bcap, 8) * 8
+    if bcap_pad != bcap:
+        cbins = jnp.pad(cbins, ((0, 0), (0, bcap_pad - bcap)),
+                        constant_values=NO_TRI)
+        bcap = bcap_pad
+
+    fat_rows = fat_rows.at[:, 47].set(
+        jnp.arange(T, dtype=jnp.int32).astype(jnp.float32))
+    rows64 = jnp.pad(fat_rows, ((0, 0), (0, ROW_PAD - fat_rows.shape[1])))
+    rows64 = rows64.reshape(C, CHUNK, ROW_PAD)
+    bins3 = jnp.clip(cbins, 0, C - 1)[:, :, None]
+
+    hp = tiles_y * tile_h
+    wp = tiles_x * tile_w
+
+    z, tid, attrs, meta = pl.pallas_call(
+        functools.partial(_raster_chunks_kernel, tiles_x=tiles_x,
+                          tile_h=tile_h, tile_w=tile_w),
+        out_shape=(
+            jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((hp, wp), jnp.int32),
+            jax.ShapeDtypeStruct((8, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((6, hp, wp), jnp.float32),
+        ),
+        grid=(tiles_y, tiles_x),
+        in_specs=[
+            pl.BlockSpec((n_tiles, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, bcap, 1),
+                         lambda i, j, _tx=tiles_x: (i * _tx + j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # fat rows stay in HBM
+        ],
+        out_specs=(
+            pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tile_h, tile_w), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, tile_h, tile_w), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2 * CHUNK, ROW_PAD), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=use_interpret(),
+    )(ccounts.reshape(n_tiles, 1), bins3, rows64)
+    return z, tid, attrs, meta
+
+
 def _accum_fused_kernel(counts_ref, light_ref, rows_ref, zbase_ref,
                         acc_ref, cnt_ref, *,
                         tiles_x: int, tile_h: int, tile_w: int):
@@ -645,6 +844,8 @@ def _accum_fused_kernel(counts_ref, light_ref, rows_ref, zbase_ref,
 
     def tri_body(k4, carry):
         ar, ag, ab, cnt = carry
+        takes = []
+        covs = []
         for u in range(_UNROLL):
             k = k4 * _UNROLL + u
             r = lambda col, _k=k: rows_ref[0, _k, col]  # noqa: E731
@@ -659,28 +860,45 @@ def _accum_fused_kernel(counts_ref, light_ref, rows_ref, zbase_ref,
                    & ((c2v > 0.0) | ((c2v == 0.0) & tl2)))
             zv = r(9) * X + r(10) * Y + r(11)
             cov &= (zv >= 0.0) & (zv <= 1.0)
-            take = cov & (zv >= zbase) & (k < n)
-            csum = c0v + c1v + c2v
-            inv = jnp.where(csum != 0.0, 1.0 / csum, 0.0)
-            # perspective-correct normal + color (attr cols 0-5; uv unused
-            # because the white texture's tex factor is 1.0)
-            b0 = c0v * inv
-            b1 = c1v * inv
-            b2 = c2v * inv
-            nx = b0 * r(13) + b1 * r(21) + b2 * r(29)
-            ny = b0 * r(14) + b1 * r(22) + b2 * r(30)
-            nz = b0 * r(15) + b1 * r(23) + b2 * r(31)
-            cr = b0 * r(16) + b1 * r(24) + b2 * r(32)
-            cg = b0 * r(17) + b1 * r(25) + b2 * r(33)
-            cb = b0 * r(18) + b1 * r(26) + b2 * r(34)
-            # mesh.frag:12-18 — light floor 0.1, sun power, ambient add
-            light = jnp.maximum(nx * sx + ny * sy + nz * sz, jnp.float32(0.1))
-            scale = light * power
-            ar = jnp.where(take, ar + cr * (scale + amb_r), ar)
-            ag = jnp.where(take, ag + cg * (scale + amb_g), ag)
-            ab = jnp.where(take, ab + cb * (scale + amb_b), ab)
-            cnt = jnp.where(take, cnt + 1, cnt)
-        return ar, ag, ab, cnt
+            takes.append(cov & (zv >= zbase) & (k < n))
+            covs.append((c0v, c1v, c2v))
+
+        group_any = takes[0]
+        for t in takes[1:]:
+            group_any = group_any | t
+
+        def shade_taken(args):
+            ar, ag, ab, cnt = args
+            for u in range(_UNROLL):
+                k = k4 * _UNROLL + u
+                r = lambda col, _k=k: rows_ref[0, _k, col]  # noqa: E731
+                take = takes[u]
+                c0v, c1v, c2v = covs[u]
+                csum = c0v + c1v + c2v
+                inv = jnp.where(csum != 0.0, 1.0 / csum, 0.0)
+                # perspective-correct normal + color (attr cols 0-5; uv
+                # unused: the white texture's tex factor is 1.0)
+                b0 = c0v * inv
+                b1 = c1v * inv
+                b2 = c2v * inv
+                nx = b0 * r(13) + b1 * r(21) + b2 * r(29)
+                ny = b0 * r(14) + b1 * r(22) + b2 * r(30)
+                nz = b0 * r(15) + b1 * r(23) + b2 * r(31)
+                cr = b0 * r(16) + b1 * r(24) + b2 * r(32)
+                cg = b0 * r(17) + b1 * r(25) + b2 * r(33)
+                cb = b0 * r(18) + b1 * r(26) + b2 * r(34)
+                # mesh.frag:12-18 — light floor 0.1, sun power, ambient add
+                light = jnp.maximum(nx * sx + ny * sy + nz * sz,
+                                    jnp.float32(0.1))
+                scale = light * power
+                ar = jnp.where(take, ar + cr * (scale + amb_r), ar)
+                ag = jnp.where(take, ag + cg * (scale + amb_g), ag)
+                ab = jnp.where(take, ab + cb * (scale + amb_b), ab)
+                cnt = jnp.where(take, cnt + 1, cnt)
+            return ar, ag, ab, cnt
+
+        return jax.lax.cond(jnp.any(group_any), shade_taken,
+                            lambda args: args, (ar, ag, ab, cnt))
 
     zero = jnp.zeros((tile_h, tile_w), jnp.float32)
     cnt0 = jnp.zeros((tile_h, tile_w), jnp.int32)
@@ -757,6 +975,8 @@ def _peel_fused_kernel(counts_ref, rows_ref, zbase_ref, last_ref,
 
     def tri_body(k4, carry):
         best, csum, nums, metas = carry
+        takes = []
+        covs = []
         for u in range(_UNROLL):
             k = k4 * _UNROLL + u
             r = lambda col, _k=k: rows_ref[0, _k, col]  # noqa: E731
@@ -774,14 +994,34 @@ def _peel_fused_kernel(counts_ref, rows_ref, zbase_ref, last_ref,
             cov &= (zv >= 0.0) & (zv <= 1.0)
             take = cov & (zv >= zbase) & (idx > last) & (idx < best) & (k < n)
             best = jnp.where(take, idx, best)
-            csum = jnp.where(take, c0v + c1v + c2v, csum)
-            new_nums = []
-            for a in range(8):
-                num = (c0v * r(13 + a) + c1v * r(21 + a) + c2v * r(29 + a))
-                new_nums.append(jnp.where(take, num, nums[a]))
-            nums = tuple(new_nums)
-            metas = tuple(
-                jnp.where(take, r(37 + m), metas[m]) for m in range(6))
+            takes.append(take)
+            covs.append((c0v, c1v, c2v))
+
+        group_any = takes[0]
+        for t in takes[1:]:
+            group_any = group_any | t
+
+        def attr_taken(args):
+            csum, nums, metas = args
+            for u in range(_UNROLL):
+                k = k4 * _UNROLL + u
+                r = lambda col, _k=k: rows_ref[0, _k, col]  # noqa: E731
+                take = takes[u]
+                c0v, c1v, c2v = covs[u]
+                csum = jnp.where(take, c0v + c1v + c2v, csum)
+                new_nums = []
+                for a in range(8):
+                    num = (c0v * r(13 + a) + c1v * r(21 + a)
+                           + c2v * r(29 + a))
+                    new_nums.append(jnp.where(take, num, nums[a]))
+                nums = tuple(new_nums)
+                metas = tuple(
+                    jnp.where(take, r(37 + m), metas[m]) for m in range(6))
+            return csum, nums, metas
+
+        csum, nums, metas = jax.lax.cond(
+            jnp.any(group_any), attr_taken, lambda args: args,
+            (csum, nums, metas))
         return best, csum, nums, metas
 
     best0 = jnp.full((tile_h, tile_w), ID_INF, jnp.int32)

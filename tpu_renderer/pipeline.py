@@ -147,18 +147,17 @@ def render_frame(buffers: SceneBuffers, params: FrameParams, *,
             width, height,
         )
         caabb, cvalid = raster.chunk_aabbs(setup.aabb, setup.valid)
-        cbins, _, overflow_c = raster.bin_triangles(
+        cbins, ccounts, overflow_c = raster.bin_triangles(
             caabb, cvalid, tiles_x=tiles_x, tiles_y=tiles_y,
             tile_w=tile_w, tile_h=tile_h, bin_cap=bin_cap)
-        bins, counts, overflow_t = raster.refine_bins(
-            cbins, setup.aabb, tiles_x=tiles_x, tiles_y=tiles_y,
-            tile_w=tile_w, tile_h=tile_h, tri_cap=tri_cap)
         rows = shade.build_shade_rows(setup.packed, setup.attrs, buffers.mat_meta)
         if fused:
-            # fused raster: attributes interpolate inside the kernel; no
-            # per-pixel row gather at all
-            z, tid, attrs_px, meta_px = raster.rasterize_fused(
-                rows, bins, counts,
+            # fused chunk-streaming raster: attributes interpolate inside the
+            # kernel (no per-pixel row gather) and fat rows DMA from HBM per
+            # binned chunk (no refine pass, no per-tile triangle capacity)
+            overflow_t = jnp.int32(0)
+            z, tid, attrs_px, meta_px = raster.rasterize_fused_chunks(
+                rows, cbins, ccounts,
                 tiles_x=tiles_x, tiles_y=tiles_y, tile_w=tile_w, tile_h=tile_h)
             valid = tid >= 0
             shaded = shade.shade_fused(
@@ -168,6 +167,9 @@ def render_frame(buffers: SceneBuffers, params: FrameParams, *,
             alpha = jnp.where(valid, jnp.float32(1.0), fb[3])
             fb = q(jnp.concatenate([rgb, alpha[None]], axis=0))
         else:
+            bins, counts, overflow_t = raster.refine_bins(
+                cbins, setup.aabb, tiles_x=tiles_x, tiles_y=tiles_y,
+                tile_w=tile_w, tile_h=tile_h, tri_cap=tri_cap)
             z, tid = raster.rasterize(
                 setup.packed, bins, counts,
                 tiles_x=tiles_x, tiles_y=tiles_y, tile_w=tile_w, tile_h=tile_h)
