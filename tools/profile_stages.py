@@ -97,22 +97,19 @@ def main():
                 return checksum(setup.packed) + checksum(setup.attrs)
 
             caabb, cvalid = raster.chunk_aabbs(setup.aabb, setup.valid)
-            cbins, _, _ = raster.bin_triangles(
+            cbins, ccounts, _ = raster.bin_triangles(
                 caabb, cvalid, tiles_x=tiles_x, tiles_y=tiles_y,
                 tile_w=tile_w, tile_h=tile_h, bin_cap=bin_cap)
             if upto == 2:
                 return checksum(cbins.astype(jnp.float32))
 
-            bins, counts, _ = raster.refine_bins(
-                cbins, setup.aabb, tiles_x=tiles_x, tiles_y=tiles_y,
-                tile_w=tile_w, tile_h=tile_h, tri_cap=tri_cap)
-            if upto == 3:
-                return checksum(bins.astype(jnp.float32))
+            if upto == 3:  # (refine no longer on the fused path)
+                return checksum(cbins.astype(jnp.float32))
 
             rows = shade.build_shade_rows(setup.packed, setup.attrs,
                                           buffers.mat_meta)
-            z, tid, attrs_px, meta_px = raster.rasterize_fused(
-                rows, bins, counts,
+            z, tid, attrs_px, meta_px = raster.rasterize_fused_chunks(
+                rows, cbins, ccounts,
                 tiles_x=tiles_x, tiles_y=tiles_y, tile_w=tile_w, tile_h=tile_h)
             if upto == 4:
                 return checksum(z) + checksum(tid.astype(jnp.float32))
@@ -175,7 +172,7 @@ def main():
 
         return run
 
-    names = ["background", "+cull/setup", "+chunk bin", "+refine",
+    names = ["background", "+cull/setup", "+chunk bin", "+(n/a)",
              "+raster_fused", "+shade_fused", "+transp setup/bin",
              "+transp accum", "+present"]
     times = []

@@ -682,54 +682,64 @@ def _raster_chunks_kernel(counts_ref, bins_ref, rows_hbm, z_ref, tid_ref,
         copy(k, slot).wait()
         base = slot * CHUNK
 
-        takes = []
-        covs = []
-        for t in range(CHUNK):
-            r = lambda col, _t=t: scratch_ref[base + _t, col]  # noqa: E731
-            c0v = r(0) * X + r(1) * Y + r(2)
-            c1v = r(3) * X + r(4) * Y + r(5)
-            c2v = r(6) * X + r(7) * Y + r(8)
-            tl0 = (r(0) > 0.0) | ((r(0) == 0.0) & (r(1) > 0.0))
-            tl1 = (r(3) > 0.0) | ((r(3) == 0.0) & (r(4) > 0.0))
-            tl2 = (r(6) > 0.0) | ((r(6) == 0.0) & (r(7) > 0.0))
-            cov = (((c0v > 0.0) | ((c0v == 0.0) & tl0))
-                   & ((c1v > 0.0) | ((c1v == 0.0) & tl1))
-                   & ((c2v > 0.0) | ((c2v == 0.0) & tl2)))
-            zv = r(9) * X + r(10) * Y + r(11)
-            cov &= (zv >= 0.0) & (zv <= 1.0)
-            # padding rows inside a partially-valid chunk have zero edge
-            # planes (never covered), so no (k < n)-style mask per triangle
-            take = cov & (zv >= z)
-            z = jnp.where(take, zv, z)
-            tid = jnp.where(take, r(47).astype(jnp.int32), tid)
-            takes.append(take)
-            covs.append((c0v, c1v, c2v))
-
-        group_any = takes[0]
-        for t in takes[1:]:
-            group_any = group_any | t
-
-        def attr_taken(args):
-            csum, nums, metas = args
+        def eval_chunk(carry):
+            z, tid, csum, nums, metas = carry
+            takes = []
+            covs = []
             for t in range(CHUNK):
                 r = lambda col, _t=t: scratch_ref[base + _t, col]  # noqa: E731
-                take = takes[t]
-                c0v, c1v, c2v = covs[t]
-                csum = jnp.where(take, c0v + c1v + c2v, csum)
-                new_nums = []
-                for a in range(8):
-                    num = (c0v * r(13 + a) + c1v * r(21 + a)
-                           + c2v * r(29 + a))
-                    new_nums.append(jnp.where(take, num, nums[a]))
-                nums = tuple(new_nums)
-                metas = tuple(
-                    jnp.where(take, r(37 + m), metas[m]) for m in range(6))
-            return csum, nums, metas
+                c0v = r(0) * X + r(1) * Y + r(2)
+                c1v = r(3) * X + r(4) * Y + r(5)
+                c2v = r(6) * X + r(7) * Y + r(8)
+                tl0 = (r(0) > 0.0) | ((r(0) == 0.0) & (r(1) > 0.0))
+                tl1 = (r(3) > 0.0) | ((r(3) == 0.0) & (r(4) > 0.0))
+                tl2 = (r(6) > 0.0) | ((r(6) == 0.0) & (r(7) > 0.0))
+                cov = (((c0v > 0.0) | ((c0v == 0.0) & tl0))
+                       & ((c1v > 0.0) | ((c1v == 0.0) & tl1))
+                       & ((c2v > 0.0) | ((c2v == 0.0) & tl2)))
+                zv = r(9) * X + r(10) * Y + r(11)
+                cov &= (zv >= 0.0) & (zv <= 1.0)
+                # padding rows inside a partially-valid chunk have zero edge
+                # planes (never covered), so no (k < n)-style mask per tri
+                take = cov & (zv >= z)
+                z = jnp.where(take, zv, z)
+                tid = jnp.where(take, r(47).astype(jnp.int32), tid)
+                takes.append(take)
+                covs.append((c0v, c1v, c2v))
 
-        csum, nums, metas = jax.lax.cond(
-            jnp.any(group_any), attr_taken, lambda args: args,
-            (csum, nums, metas))
-        return z, tid, csum, nums, metas
+            group_any = takes[0]
+            for t in takes[1:]:
+                group_any = group_any | t
+
+            def attr_taken(args):
+                csum, nums, metas = args
+                for t in range(CHUNK):
+                    r = lambda col, _t=t: scratch_ref[base + _t, col]  # noqa: E731
+                    take = takes[t]
+                    c0v, c1v, c2v = covs[t]
+                    csum = jnp.where(take, c0v + c1v + c2v, csum)
+                    new_nums = []
+                    for a in range(8):
+                        num = (c0v * r(13 + a) + c1v * r(21 + a)
+                               + c2v * r(29 + a))
+                        new_nums.append(jnp.where(take, num, nums[a]))
+                    nums = tuple(new_nums)
+                    metas = tuple(
+                        jnp.where(take, r(37 + m), metas[m]) for m in range(6))
+                return csum, nums, metas
+
+            # per-chunk attr skip measured: 12.5 FPS with vs 9.9 without
+            # on the demo bench (whole chunks often miss a tile's pixels)
+            csum, nums, metas = jax.lax.cond(
+                jnp.any(group_any), attr_taken, lambda args: args,
+                (csum, nums, metas))
+            return z, tid, csum, nums, metas
+
+        # (A hierarchical-z chunk skip — conservative chunk zmax vs a
+        # per-chunk jnp.min(z) reduce — was measured a net LOSS on both the
+        # demo and stress scenes: the reduce + branch overhead exceeds the
+        # savings under this draw order. Eval unconditionally.)
+        return eval_chunk(carry)
 
     z0 = jnp.full((tile_h, tile_w), DEPTH_CLEAR, jnp.float32)
     tid0 = jnp.full((tile_h, tile_w), NO_TRI, jnp.int32)

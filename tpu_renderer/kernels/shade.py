@@ -105,11 +105,15 @@ def _level_coords(w0, h0, li, uv):
     return wl, hl, jnp.mod(x0, wl), jnp.mod(y0, hl), su - x0, sv - y0
 
 
-def _sample_level(atlas, base_x, base_y, w0, h0, level, uv, linear):
+def _sample_level(atlas, base_x, base_y, w0, h0, level, uv, linear,
+                  active=None):
     """One mip tap = ONE quad-row gather + elementwise filtering.
 
     Analytic addressing: level L sits at x = base_x + L*w0 with size
     (w0>>L, h0>>L). `linear` selects bilinear vs nearest per pixel.
+    `active` (optional bool mask): pixels whose result is unused get gather
+    index 0 — repeated-index gathers are nearly free, so masking the address
+    is cheaper than fetching a dead texel.
     """
     li = level.astype(jnp.int32)
     wl, hl, x0w, y0w, fu, fv = _level_coords(w0, h0, li, uv)
@@ -117,6 +121,8 @@ def _sample_level(atlas, base_x, base_y, w0, h0, level, uv, linear):
     ey = base_y.astype(jnp.int32)
 
     flat = (ey + y0w) * atlas.width + (ex + x0w)
+    if active is not None:
+        flat = jnp.where(active, flat, 0)
     quad = atlas.quads[flat]                       # (..., 4) u32 — THE gather
     return _filter_quad(_unpack_rgb(quad[..., 0]), _unpack_rgb(quad[..., 1]),
                         _unpack_rgb(quad[..., 2]), _unpack_rgb(quad[..., 3]),
@@ -151,9 +157,12 @@ def sample_texture(atlas, base_x, base_y, w0, h0, n_levels, flags, uv):
 
     # two quad-row taps; a single-gather 16-u32 "trilinear row" variant was
     # measured 4x SLOWER (gather cost scales with row bytes beyond ~16 B on
-    # this hardware) — see docs/PERF.md
+    # this hardware) — see docs/PERF.md. The second tap's address is masked
+    # for pixels whose mip fraction is 0 (mip-nearest samplers, magnified or
+    # exactly-on-level pixels): its result is multiplied by 0 anyway.
     ca = _sample_level(atlas, base_x, base_y, w0, h0, lev_a, uv, linear)
-    cb = _sample_level(atlas, base_x, base_y, w0, h0, lev_b, uv, linear)
+    cb = _sample_level(atlas, base_x, base_y, w0, h0, lev_b, uv, linear,
+                       active=frac > 0.0)
     return ca * (1.0 - frac[..., None]) + cb * frac[..., None]
 
 
