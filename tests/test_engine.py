@@ -101,3 +101,43 @@ def test_animated_node_transforms(tmp_path):
     eng.update_scene(refresh_transforms=True)
     img1 = eng.draw()
     assert not np.array_equal(img0, img1)
+
+
+def test_dense_scene_redraws_until_no_overflow():
+    """A frame that overflows a binning cap escalates AND redraws before
+    draw() returns — the caller never sees dropped geometry (the reference
+    rasterizer has no capacity cliff, vk_engine.cpp:1453)."""
+    import tpu_renderer.scene as sm
+    from tpu_renderer import milestones
+    from tpu_renderer.config import RendererConfig
+    from tpu_renderer.engine import Engine
+    from tpu_renderer.kernels import raster
+
+    # stack quads in one spot until the chunk count exceeds the initial
+    # bin_cap of 512 — every chunk lands in the same tiles
+    scene = milestones.colored_quad_scene(z0=0.5, z1=0.5)
+    scene.colors = np.tile(np.array([0, 1, 0, 1], np.float32), (4, 1))
+    n_copies = 520 * raster.CHUNK // 2  # 2 tris per quad
+    for k in range(n_copies - 1):
+        node = sm.MeshNode(0, f"c{k}")
+        node.refresh_transform(np.eye(4, dtype=np.float32))
+        scene.nodes.append(node)
+        scene.top_nodes.append(node)
+
+    cfg = RendererConfig(width=128, height=32,
+                         **milestones.UNLIT_CONFIG_OVERRIDES)
+    eng = Engine(cfg)
+    eng.init(scene=scene)
+    import jax.numpy as jnp
+
+    eng._params_cache = None
+    params = eng.frame_params()._replace(view=jnp.eye(4, dtype=jnp.float32),
+                                         proj=jnp.eye(4, dtype=jnp.float32))
+    eng.update_scene = lambda **kw: params  # identity camera
+    assert eng._caps["bin_cap"] <= 512
+    img = eng.draw()
+    a = {k: int(np.asarray(v)) for k, v in eng._last_aux.items()}
+    assert a["bin_overflow"] == 0, a
+    assert eng._caps["bin_cap"] > 512
+    # the quad actually rendered (green center)
+    assert img[16, 64][1] > 150

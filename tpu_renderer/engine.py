@@ -150,14 +150,24 @@ class Engine:
              hud: bool = False) -> np.ndarray:
         """Render one frame; returns the (H, W, 4) uint8 image on host.
 
+        If the frame overflowed a binning capacity (dense scene), the caps
+        escalate and the SAME frame redraws before returning — the caller
+        never sees a frame with dropped geometry (the reference pipeline has
+        no capacity cliff to begin with, vk_engine.cpp:1453).
+
         hud=True burns the stats overlay into the frame (the ImGui window,
         vk_engine.cpp:1175-1191)."""
         t0 = time.perf_counter()
         image, aux = self.draw_device()
+        if with_stats:
+            for _ in range(4):
+                caps = dict(self._caps)
+                self._update_stats(aux)  # escalates caps on overflow
+                if self._caps == caps:
+                    break
+                image, aux = self.draw_device()
         out = np.asarray(image)
         self.stats.mesh_draw_time = (time.perf_counter() - t0) * 1000.0
-        if with_stats:
-            self._update_stats(aux)
         if hud:
             from tpu_renderer.hud import draw_stats
 

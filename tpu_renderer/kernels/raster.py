@@ -807,7 +807,7 @@ def rasterize_fused_chunks(fat_rows, cbins, ccounts, *, tiles_x: int,
             pl.BlockSpec((1, bcap, 1),
                          lambda i, j, _tx=tiles_x: (i * _tx + j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # fat rows stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # fat rows stay in HBM
         ],
         out_specs=(
             pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM),
@@ -970,6 +970,165 @@ def rasterize_accum_fused(fat_rows, bins, counts, z_base, light, *,
         ),
         interpret=use_interpret(),
     )(counts.reshape(n_tiles, 1), light.reshape(1, 8), rows, z_base)
+
+
+def _accum_chunks_kernel(counts_ref, light_ref, bins_ref, rows_hbm,
+                         zbase_ref, acc_ref, cnt_ref, scratch_ref, sem_ref, *,
+                         tiles_x: int, tile_h: int, tile_w: int):
+    """Chunk-streaming variant of _accum_fused_kernel: fat rows DMA from HBM
+    per binned chunk (see _raster_chunks_kernel)."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    tile = i * tiles_x + j
+    n = counts_ref[tile, 0]
+    sx = light_ref[0, 0]
+    sy = light_ref[0, 1]
+    sz = light_ref[0, 2]
+    power = light_ref[0, 3]
+    amb_r = light_ref[0, 4]
+    amb_g = light_ref[0, 5]
+    amb_b = light_ref[0, 6]
+    X, Y = _tile_coords(i, j, tile_h, tile_w)
+    zbase = zbase_ref[:, :]
+
+    def copy(k, slot):
+        cid = bins_ref[0, k, 0]
+        return pltpu.make_async_copy(
+            rows_hbm.at[cid],
+            scratch_ref.at[pl.ds(slot * CHUNK, CHUNK)],
+            sem_ref.at[slot])
+
+    @pl.when(n > 0)
+    def _():
+        copy(0, 0).start()
+
+    def chunk_body(k, carry):
+        ar, ag, ab, cnt = carry
+        slot = jax.lax.rem(k, 2)
+
+        @pl.when(k + 1 < n)
+        def _():
+            copy(k + 1, 1 - slot).start()
+
+        copy(k, slot).wait()
+        base = slot * CHUNK
+
+        takes = []
+        covs = []
+        for t in range(CHUNK):
+            r = lambda col, _t=t: scratch_ref[base + _t, col]  # noqa: E731
+            c0v = r(0) * X + r(1) * Y + r(2)
+            c1v = r(3) * X + r(4) * Y + r(5)
+            c2v = r(6) * X + r(7) * Y + r(8)
+            tl0 = (r(0) > 0.0) | ((r(0) == 0.0) & (r(1) > 0.0))
+            tl1 = (r(3) > 0.0) | ((r(3) == 0.0) & (r(4) > 0.0))
+            tl2 = (r(6) > 0.0) | ((r(6) == 0.0) & (r(7) > 0.0))
+            cov = (((c0v > 0.0) | ((c0v == 0.0) & tl0))
+                   & ((c1v > 0.0) | ((c1v == 0.0) & tl1))
+                   & ((c2v > 0.0) | ((c2v == 0.0) & tl2)))
+            zv = r(9) * X + r(10) * Y + r(11)
+            cov &= (zv >= 0.0) & (zv <= 1.0)
+            takes.append(cov & (zv >= zbase))
+            covs.append((c0v, c1v, c2v))
+
+        group_any = takes[0]
+        for t in takes[1:]:
+            group_any = group_any | t
+
+        def shade_taken(args):
+            ar, ag, ab, cnt = args
+            for t in range(CHUNK):
+                r = lambda col, _t=t: scratch_ref[base + _t, col]  # noqa: E731
+                take = takes[t]
+                c0v, c1v, c2v = covs[t]
+                csum = c0v + c1v + c2v
+                inv = jnp.where(csum != 0.0, 1.0 / csum, 0.0)
+                b0 = c0v * inv
+                b1 = c1v * inv
+                b2 = c2v * inv
+                nx = b0 * r(13) + b1 * r(21) + b2 * r(29)
+                ny = b0 * r(14) + b1 * r(22) + b2 * r(30)
+                nz = b0 * r(15) + b1 * r(23) + b2 * r(31)
+                cr = b0 * r(16) + b1 * r(24) + b2 * r(32)
+                cg = b0 * r(17) + b1 * r(25) + b2 * r(33)
+                cb = b0 * r(18) + b1 * r(26) + b2 * r(34)
+                light = jnp.maximum(nx * sx + ny * sy + nz * sz,
+                                    jnp.float32(0.1))
+                scale = light * power
+                ar = jnp.where(take, ar + cr * (scale + amb_r), ar)
+                ag = jnp.where(take, ag + cg * (scale + amb_g), ag)
+                ab = jnp.where(take, ab + cb * (scale + amb_b), ab)
+                cnt = jnp.where(take, cnt + 1, cnt)
+            return ar, ag, ab, cnt
+
+        return jax.lax.cond(jnp.any(group_any), shade_taken,
+                            lambda args: args, (ar, ag, ab, cnt))
+
+    zero = jnp.zeros((tile_h, tile_w), jnp.float32)
+    cnt0 = jnp.zeros((tile_h, tile_w), jnp.int32)
+    ar1, ag1, ab1, cnt1 = jax.lax.fori_loop(
+        0, n, chunk_body, (zero, zero, zero, cnt0))
+    acc_ref[0, :, :] = ar1
+    acc_ref[1, :, :] = ag1
+    acc_ref[2, :, :] = ab1
+    cnt_ref[:, :] = cnt1
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tiles_x", "tiles_y", "tile_w", "tile_h"),
+)
+def rasterize_accum_chunks(fat_rows, cbins, ccounts, z_base, light, *,
+                           tiles_x: int, tiles_y: int, tile_w: int,
+                           tile_h: int):
+    """Chunk-streaming transparent accumulation (untextured path).
+
+    Same contract as rasterize_accum_fused but consuming CHUNK bins directly
+    (no expand_bins/refine, no XLA row gather).
+    """
+    T = fat_rows.shape[0]
+    C = T // CHUNK
+    n_tiles, bcap = cbins.shape
+    bcap_pad = cdiv(bcap, 8) * 8
+    if bcap_pad != bcap:
+        cbins = jnp.pad(cbins, ((0, 0), (0, bcap_pad - bcap)),
+                        constant_values=NO_TRI)
+        bcap = bcap_pad
+
+    rows64 = jnp.pad(fat_rows, ((0, 0), (0, ROW_PAD - fat_rows.shape[1])))
+    rows64 = rows64.reshape(C, CHUNK, ROW_PAD)
+    bins3 = jnp.clip(cbins, 0, C - 1)[:, :, None]
+
+    hp = tiles_y * tile_h
+    wp = tiles_x * tile_w
+
+    return pl.pallas_call(
+        functools.partial(_accum_chunks_kernel, tiles_x=tiles_x,
+                          tile_h=tile_h, tile_w=tile_w),
+        out_shape=(
+            jax.ShapeDtypeStruct((3, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((hp, wp), jnp.int32),
+        ),
+        grid=(tiles_y, tiles_x),
+        in_specs=[
+            pl.BlockSpec((n_tiles, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, bcap, 1),
+                         lambda i, j, _tx=tiles_x: (i * _tx + j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # fat rows stay in HBM
+            pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((3, tile_h, tile_w), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2 * CHUNK, ROW_PAD), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=use_interpret(),
+    )(ccounts.reshape(n_tiles, 1), light.reshape(1, 8), bins3, rows64, z_base)
 
 
 def _peel_fused_kernel(counts_ref, rows_ref, zbase_ref, last_ref,

@@ -195,16 +195,6 @@ def render_frame(buffers: SceneBuffers, params: FrameParams, *,
         cbins_t, ccounts_t, overflow_tc = raster.bin_triangles(
             caabb_t, cvalid_t, tiles_x=tiles_x, tiles_y=tiles_y,
             tile_w=tile_w, tile_h=tile_h, bin_cap=tbin_cap)
-        if tt <= 4096:
-            # small transparent sets: skip the refine pass; the peel loop
-            # evaluates the few extra chunk members instead
-            bins_t, counts_t = raster.expand_bins(cbins_t, ccounts_t)
-            overflow_tt = jnp.int32(0)
-        else:
-            bins_t, counts_t, overflow_tt = raster.refine_bins(
-                cbins_t, setup_t.aabb, tiles_x=tiles_x, tiles_y=tiles_y,
-                tile_w=tile_w, tile_h=tile_h, tri_cap=tri_cap)
-        overflow_t = overflow_tc + overflow_tt
         rows_t = shade.build_shade_rows(setup_t.packed, setup_t.attrs,
                                         buffers.mat_meta)
 
@@ -212,12 +202,14 @@ def render_frame(buffers: SceneBuffers, params: FrameParams, *,
             # mesh.frag writes alpha = 1.0 always (shaders/mesh.frag:18), so
             # the reference's additive blend reduces to an order-independent
             # SUM over all transparent fragments — one raster pass shades and
-            # accumulates EVERY layer (no peel cap, nothing ever dropped).
+            # accumulates EVERY layer (no peel cap, nothing ever dropped;
+            # chunk-streaming, so no expand/refine either).
+            overflow_t = overflow_tc
             light = jnp.concatenate([
                 params.sun_dir[:3], params.sun_color[3:4],
                 params.ambient[:3], jnp.zeros(1, jnp.float32)])
-            acc, cnt = raster.rasterize_accum_fused(
-                rows_t, bins_t, counts_t, z, light,
+            acc, cnt = raster.rasterize_accum_chunks(
+                rows_t, cbins_t, ccounts_t, z, light,
                 tiles_x=tiles_x, tiles_y=tiles_y,
                 tile_w=tile_w, tile_h=tile_h)
             covered = cnt > 0
@@ -233,6 +225,17 @@ def render_frame(buffers: SceneBuffers, params: FrameParams, *,
             # unbounded analog of the reference blending every fragment
             # (vk_engine.cpp:1459-1465). Each peel needs its own deferred
             # texture taps, which is why this path can't single-pass.
+            if tt <= 4096:
+                # small transparent sets: skip the refine pass; the peel
+                # loop evaluates the few extra chunk members instead
+                bins_t, counts_t = raster.expand_bins(cbins_t, ccounts_t)
+                overflow_tt = jnp.int32(0)
+            else:
+                bins_t, counts_t, overflow_tt = raster.refine_bins(
+                    cbins_t, setup_t.aabb, tiles_x=tiles_x, tiles_y=tiles_y,
+                    tile_w=tile_w, tile_h=tile_h, tri_cap=tri_cap)
+            overflow_t = overflow_tc + overflow_tt
+
             def one_peel(fb, last):
                 if fused:
                     layer, attrs_px, meta_px = raster.rasterize_peel_fused(
