@@ -154,6 +154,33 @@ def cmd_benchmark(args) -> int:
     return 0
 
 
+def cmd_view(args) -> int:
+    """Interactive terminal viewer (the GLFW window loop analog)."""
+    import tempfile
+
+    from tpu_renderer.utils.demo import build_demo_glb
+    from tpu_renderer.viewer import run_viewer
+
+    if args.scene:
+        path = args.scene
+        camera = tuple(args.camera) if args.camera else (0.0, 6.0, 20.0)
+    else:
+        path = tempfile.mktemp(suffix=".glb")
+        build_demo_glb(path, grid=args.grid, seed=args.seed)
+        camera = tuple(args.camera) if args.camera else (0.0, 4.0, args.grid * 2.2)
+    cfg = RendererConfig(width=args.width, height=args.height,
+                         camera_position=camera,
+                         background_effect=args.background)
+    eng = Engine(cfg)
+    eng.camera.pitch = np.float32(args.pitch - 0.15)
+    eng.init(scene_path=path)
+    keys = list(args.keys) if args.keys is not None else None
+    n = run_viewer(eng, n_frames=args.frames, keys=keys,
+                   cols=args.cols, rows=args.rows)
+    print(f"\n{n} frames")
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="tpu_renderer")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -173,6 +200,19 @@ def main(argv=None) -> int:
     p.add_argument("name")
     _add_common(p)
     p.set_defaults(fn=cmd_milestone)
+
+    p = sub.add_parser("view", help="interactive terminal viewer (wasd + arrows)")
+    p.add_argument("--scene", default=None)
+    p.add_argument("--grid", type=int, default=4)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--frames", type=int, default=None,
+                   help="stop after N frames (default: run until q/ESC)")
+    p.add_argument("--keys", default=None,
+                   help="scripted per-frame input string (headless/testing)")
+    p.add_argument("--cols", type=int, default=96)
+    p.add_argument("--rows", type=int, default=24)
+    _add_common(p)
+    p.set_defaults(fn=cmd_view)
 
     p = sub.add_parser("benchmark", help="steady-state FPS benchmark")
     p.add_argument("--scene", default=None)
