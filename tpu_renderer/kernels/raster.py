@@ -42,7 +42,7 @@ from tpu_renderer.kernels import vertex as vx
 
 DEPTH_CLEAR = 0.0  # vk_initializers.cpp:144 (reversed-Z)
 NO_TRI = -1
-CHUNK = 8  # triangles per binning chunk (granularity of the coarse bins)
+CHUNK = 8  # triangles per binning chunk (granularity of the coarse bins; measured sweet spot vs 4 and 16)
 
 _EMPTY_AABB = (-1.0, -1.0, -2.0, -2.0)
 _UNROLL = 4  # raster inner-loop unroll (hides scalar-load latency)

@@ -152,23 +152,27 @@ def render_frame_multichip(buffers: SceneBuffers, params: FrameParams, *,
             packed_l = _shift_rows_y(setup.packed, y0)
             aabb_l = _shift_aabb_y(setup.aabb, y0)
             caabb, cvalid = raster.chunk_aabbs(aabb_l, setup.valid)
-            cbins, _, _ = raster.bin_triangles(
+            cbins, ccounts, _ = raster.bin_triangles(
                 caabb, cvalid, tiles_x=tiles_x, tiles_y=tiles_y_band,
                 tile_w=tile_w, tile_h=tile_h,
                 bin_cap=bin_cap)
+            return setup, packed_l, aabb_l, cbins, ccounts
+
+        def refine(cbins, aabb_l):
             bins, counts, _ = raster.refine_bins(
                 cbins, aabb_l, tiles_x=tiles_x, tiles_y=tiles_y_band,
                 tile_w=tile_w, tile_h=tile_h, tri_cap=tri_cap)
-            return setup, packed_l, aabb_l, bins, counts
+            return bins, counts
 
         # opaque: local raster + sort-last composite over 'tri'
-        setup, packed_l, aabb_l, bins, counts = raster_set(ov, od, oval, vis)
+        setup, packed_l, aabb_l, cbins, ccounts = raster_set(ov, od, oval, vis)
         t_shard = ov.shape[0]
         rows_local = shade.build_shade_rows(packed_l, setup.attrs,
                                             buffers.mat_meta)
         if fused:
-            z, tid_local, attrs_l, meta_l = raster.rasterize_fused(
-                rows_local, bins, counts, tiles_x=tiles_x,
+            # chunk-streaming raster, same as the single-chip hot path
+            z, tid_local, attrs_l, meta_l = raster.rasterize_fused_chunks(
+                rows_local, cbins, ccounts, tiles_x=tiles_x,
                 tiles_y=tiles_y_band, tile_w=tile_w, tile_h=tile_h)
             tid = jnp.where(tid_local >= 0, tid_local + tri_idx * t_shard, -1)
             zmax = jax.lax.pmax(z, "tri")
@@ -188,6 +192,7 @@ def render_frame_multichip(buffers: SceneBuffers, params: FrameParams, *,
             alpha = jnp.where(valid, jnp.float32(1.0), fb[3])
             fb = q(jnp.concatenate([rgb, alpha[None]], axis=0))
         else:
+            bins, counts = refine(cbins, aabb_l)
             z, tid_local = raster.rasterize(
                 packed_l, bins, counts, tiles_x=tiles_x,
                 tiles_y=tiles_y_band, tile_w=tile_w, tile_h=tile_h)
@@ -210,7 +215,7 @@ def render_frame_multichip(buffers: SceneBuffers, params: FrameParams, *,
         # that shades to exactly black still counts as coverage)
         if tt > 0:
             all_vis = jnp.ones_like(vis)
-            setup_t, packed_tl, aabb_tl, bins_t, counts_t = raster_set(
+            setup_t, packed_tl, aabb_tl, cbins_t, ccounts_t = raster_set(
                 tv, td, tval, all_vis)
             rows_t = shade.build_shade_rows(packed_tl, setup_t.attrs,
                                             buffers.mat_meta)
@@ -218,11 +223,12 @@ def render_frame_multichip(buffers: SceneBuffers, params: FrameParams, *,
                 light = jnp.concatenate([
                     params.sun_dir[:3], params.sun_color[3:4],
                     params.ambient[:3], jnp.zeros(1, jnp.float32)])
-                delta, cnt = raster.rasterize_accum_fused(
-                    rows_t, bins_t, counts_t, z, light,
+                delta, cnt = raster.rasterize_accum_chunks(
+                    rows_t, cbins_t, ccounts_t, z, light,
                     tiles_x=tiles_x, tiles_y=tiles_y_band,
                     tile_w=tile_w, tile_h=tile_h)
             else:
+                bins_t, counts_t = refine(cbins_t, aabb_tl)
                 # textured: peel the local shard until dry (unbounded)
                 def peel_body(carry):
                     delta, cnt, last, _ = carry
