@@ -208,7 +208,7 @@ class Engine:
         """
         c = self._caps
         self._caps = dict(
-            bin_cap=min(c["bin_cap"] * 2, 4096) if chunks else c["bin_cap"],
+            bin_cap=min(c["bin_cap"] * 2, 8192) if chunks else c["bin_cap"],
             tri_cap=min(c["tri_cap"] * 2, 16384) if tris else c["tri_cap"],
         )
 
