@@ -138,17 +138,16 @@ def main():
             cbins_t, ccounts_t, _ = raster.bin_triangles(
                 caabb_t, cvalid_t, tiles_x=tiles_x, tiles_y=tiles_y,
                 tile_w=tile_w, tile_h=tile_h, bin_cap=tbin_cap)
-            bins_t, counts_t = raster.expand_bins(cbins_t, ccounts_t)
             if upto == 6:
-                return checksum(bins_t.astype(jnp.float32))
+                return checksum(cbins_t.astype(jnp.float32))
 
             rows_t = shade.build_shade_rows(setup_t.packed, setup_t.attrs,
                                             buffers.mat_meta)
             light = jnp.concatenate([
                 params.sun_dir[:3], params.sun_color[3:4],
                 params.ambient[:3], jnp.zeros(1, jnp.float32)])
-            acc, cnt = raster.rasterize_accum_fused(
-                rows_t, bins_t, counts_t, z, light,
+            acc, cnt = raster.rasterize_accum_chunks(
+                rows_t, cbins_t, ccounts_t, z, light,
                 tiles_x=tiles_x, tiles_y=tiles_y,
                 tile_w=tile_w, tile_h=tile_h)
             covered = cnt > 0
