@@ -118,7 +118,7 @@ def main():
             shaded = shade.shade_fused(
                 attrs_px, meta_px, buffers.atlas, params.ambient[:3],
                 params.sun_dir[:3], params.sun_color[3])
-            rgb = jnp.where(valid[None], jnp.moveaxis(shaded, -1, 0), fb[:3])
+            rgb = jnp.where(valid[None], shaded, fb[:3])
             alpha = jnp.where(valid, jnp.float32(1.0), fb[3])
             fb = jnp.concatenate([rgb, alpha[None]], axis=0)
             fb = fb.astype(jnp.float16).astype(jnp.float32)

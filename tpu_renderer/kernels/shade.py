@@ -3,17 +3,21 @@ over the visibility buffer, plus the sampler/texture machinery the reference
 gets from combined image samplers (input_structures.glsl:13-16, sampler
 creation vk_loader.cpp:197-211, REPEAT addressing by Vulkan default).
 
-TPU-first constraint: every gather costs ~tens of ns per index regardless of
-row width, so this stage performs exactly THREE per-pixel gathers at 1080p:
+TPU-first constraints shaping this file:
 
-1. one 48-float *shade row* per pixel (edge planes + per-corner attributes +
-   texture metadata, packed by ``build_shade_rows``),
-2. one prebaked bilinear-quad row per sampled mip level (1 for nearest-mip
-   samplers, 2 for trilinear).
+* every gather costs ~4-12 ns per index (docs/PERF.md cost model), so this
+  stage performs exactly the minimum per-pixel gathers: one prebaked
+  bilinear-quad row per sampled mip level (1 for nearest-mip samplers, 2 for
+  trilinear), plus — on the deferred (non-fused) path only — one 48-float
+  *shade row* per pixel.
+* all elementwise math runs on channel-MAJOR (Hp, Wp) planes. A
+  channel-minor (..., 2/3/4) array lane-pads its last dimension to 128 on
+  TPU (16-64x memory blowup on every materialization), which measured ~10 ms
+  of pure overhead per frame at 1080p before the planar rewrite.
 
-Everything else — barycentrics, perspective-correct interpolation, mip LOD
-from 2x2 pixel-quad derivatives, analytic mip addressing, filtering,
-lighting — is pure elementwise VPU work that XLA fuses.
+Everything outside the taps — barycentrics, perspective-correct
+interpolation, mip LOD from 2x2 pixel-quad derivatives, analytic mip
+addressing, filtering, lighting — is elementwise VPU work that XLA fuses.
 """
 
 from __future__ import annotations
@@ -58,84 +62,89 @@ def build_shade_rows(packed, attrs, mat_meta):
     )
 
 
-def _unpack_rgb(texel_u32):
-    """uint32 RGBA8 -> (..., 3) f32 in [0,1] (UNORM)."""
-    r = (texel_u32 & 0xFF).astype(jnp.float32)
-    g = ((texel_u32 >> 8) & 0xFF).astype(jnp.float32)
-    b = ((texel_u32 >> 16) & 0xFF).astype(jnp.float32)
-    return jnp.stack([r, g, b], axis=-1) * jnp.float32(1.0 / 255.0)
+def _chan(texel_u32, shift: int):
+    """One RGBA8 channel of a packed u32 texel plane -> f32 [0,1] plane."""
+    return ((texel_u32 >> shift) & 0xFF).astype(jnp.float32) \
+        * jnp.float32(1.0 / 255.0)
 
 
-def _quad_derivatives(uv):
-    """Hardware-style coarse derivatives over 2x2 pixel quads.
-
-    uv: (H, W, 2) with H, W even. Each 2x2 quad shares one derivative (like
-    GPU helper-invocation quads).
-    """
-    h, w = uv.shape[:2]
-    q = uv.reshape(h // 2, 2, w // 2, 2, 2)
-    dx = q[:, :, :, 1, :] - q[:, :, :, 0, :]
-    dx = jnp.repeat(dx[:, :, :, None, :], 2, axis=3)
-    dy = q[:, 1, :, :, :] - q[:, 0, :, :, :]
-    dy = jnp.repeat(dy[:, None, :, :, :], 2, axis=1)
-    return dx.reshape(h, w, 2), dy.reshape(h, w, 2)
+def _quad_derivative(p, axis: int):
+    """Hardware-style coarse derivative of one (H, W) plane over 2x2 pixel
+    quads (GPU helper-invocation semantics: both pixels of a quad pair share
+    d = p[odd] - p[even]). Pure rolls + selects — no reshapes, no transposes.
+    H, W must be even (guaranteed by tile padding)."""
+    idx = jax.lax.broadcasted_iota(jnp.int32, p.shape, axis)
+    even = (idx & 1) == 0
+    fwd = jnp.roll(p, -1, axis=axis)   # p[i+1]
+    bwd = jnp.roll(p, 1, axis=axis)    # p[i-1]
+    partner = jnp.where(even, fwd, bwd)
+    return jnp.where(even, partner - p, p - partner)
 
 
-def _filter_quad(t00, t10, t01, t11, fu, fv, linear):
-    """Bilinear or nearest over one 2x2 quad (texel fractions fu, fv)."""
-    fu_ = fu[..., None]
-    fv_ = fv[..., None]
-    bilin = (t00 * (1 - fu_) * (1 - fv_) + t10 * fu_ * (1 - fv_)
-             + t01 * (1 - fu_) * fv_ + t11 * fu_ * fv_)
-    # nearest texel: floor(u*w) == x0 or x0+1; both live in this quad
-    nx = (fu >= 0.5)[..., None]
-    ny = (fv >= 0.5)[..., None]
-    near = jnp.where(nx, jnp.where(ny, t11, t10), jnp.where(ny, t01, t00))
-    return jnp.where(linear[..., None], bilin, near)
-
-
-def _level_coords(w0, h0, li, uv):
-    """Texel addressing at mip level li: wrapped quad top-left + fractions."""
+def _level_coords(w0, h0, li, u, v):
+    """Texel addressing at mip level li: wrapped quad top-left + fractions.
+    All arguments and results are (H, W) planes."""
     wl = jnp.maximum(w0.astype(jnp.int32) >> li, 1)
     hl = jnp.maximum(h0.astype(jnp.int32) >> li, 1)
-    su = uv[..., 0] * wl.astype(jnp.float32) - 0.5
-    sv = uv[..., 1] * hl.astype(jnp.float32) - 0.5
+    su = u * wl.astype(jnp.float32) - 0.5
+    sv = v * hl.astype(jnp.float32) - 0.5
     x0 = jnp.floor(su).astype(jnp.int32)
     y0 = jnp.floor(sv).astype(jnp.int32)
     return wl, hl, jnp.mod(x0, wl), jnp.mod(y0, hl), su - x0, sv - y0
 
 
-def _sample_level(atlas, base_x, base_y, w0, h0, level, uv, linear,
+def _sample_level(atlas, base_x, base_y, w0, h0, level, u, v, linear,
                   active=None):
-    """One mip tap = ONE quad-row gather + elementwise filtering.
+    """One mip tap = ONE quad-row gather + planar filtering -> (r, g, b).
 
     Analytic addressing: level L sits at x = base_x + L*w0 with size
     (w0>>L, h0>>L). `linear` selects bilinear vs nearest per pixel.
     `active` (optional bool mask): pixels whose result is unused get gather
-    index 0 — repeated-index gathers are nearly free, so masking the address
-    is cheaper than fetching a dead texel.
+    index 0 — the per-index issue cost is unavoidable, but masking keeps the
+    address in-table without a separate validity clamp.
     """
     li = level.astype(jnp.int32)
-    wl, hl, x0w, y0w, fu, fv = _level_coords(w0, h0, li, uv)
+    wl, hl, x0w, y0w, fu, fv = _level_coords(w0, h0, li, u, v)
     ex = base_x.astype(jnp.int32) + li * w0.astype(jnp.int32)
     ey = base_y.astype(jnp.int32)
 
     flat = (ey + y0w) * atlas.width + (ex + x0w)
     if active is not None:
         flat = jnp.where(active, flat, 0)
-    quad = atlas.quads[flat]                       # (..., 4) u32 — THE gather
-    return _filter_quad(_unpack_rgb(quad[..., 0]), _unpack_rgb(quad[..., 1]),
-                        _unpack_rgb(quad[..., 2]), _unpack_rgb(quad[..., 3]),
-                        fu, fv, linear)
+    quad = atlas.quads[flat]                       # (H, W, 4) u32 — THE gather
+    t00 = quad[..., 0]
+    t10 = quad[..., 1]
+    t01 = quad[..., 2]
+    t11 = quad[..., 3]
+
+    # nearest texel: floor(u*w) == x0 or x0+1; both live in this quad. The
+    # select runs on the PACKED u32 planes (one select instead of three).
+    nx = fu >= 0.5
+    ny = fv >= 0.5
+    near = jnp.where(nx, jnp.where(ny, t11, t10), jnp.where(ny, t01, t00))
+
+    w11 = fu * fv
+    w10 = fu - w11
+    w01 = fv - w11
+    w00 = 1.0 - fu - w01
+    out = []
+    for s in (0, 8, 16):
+        bilin = (w00 * _chan(t00, s) + w10 * _chan(t10, s)
+                 + w01 * _chan(t01, s) + w11 * _chan(t11, s))
+        out.append(jnp.where(linear, bilin, _chan(near, s)))
+    return tuple(out)
 
 
-def sample_texture(atlas, base_x, base_y, w0, h0, n_levels, flags, uv):
+def sample_texture(atlas, base_x, base_y, w0, h0, n_levels, flags, u, v):
     """Full sampler: LOD from quad derivatives, trilinear/nearest filtering,
-    REPEAT wrap — two taps max."""
+    REPEAT wrap — two taps max. Planar in, (r, g, b) planes out."""
     fl = flags.astype(jnp.int32)
-    dudx, dudy = _quad_derivatives(uv)
-    rho_x = jnp.sqrt((dudx[..., 0] * w0) ** 2 + (dudx[..., 1] * h0) ** 2)
-    rho_y = jnp.sqrt((dudy[..., 0] * w0) ** 2 + (dudy[..., 1] * h0) ** 2)
+    dudx = _quad_derivative(u, 1)
+    dudy = _quad_derivative(u, 0)
+    dvdx = _quad_derivative(v, 1)
+    dvdy = _quad_derivative(v, 0)
+    rho_x = jnp.sqrt((dudx * w0) ** 2 + (dvdx * h0) ** 2)
+    rho_y = jnp.sqrt((dudy * w0) ** 2 + (dvdy * h0) ** 2)
     rho = jnp.maximum(rho_x, rho_y)
     lod = jnp.log2(jnp.maximum(rho, jnp.float32(1e-12)))
     max_level = n_levels - 1.0
@@ -160,35 +169,40 @@ def sample_texture(atlas, base_x, base_y, w0, h0, n_levels, flags, uv):
     # this hardware) — see docs/PERF.md. The second tap's address is masked
     # for pixels whose mip fraction is 0 (mip-nearest samplers, magnified or
     # exactly-on-level pixels): its result is multiplied by 0 anyway.
-    ca = _sample_level(atlas, base_x, base_y, w0, h0, lev_a, uv, linear)
-    cb = _sample_level(atlas, base_x, base_y, w0, h0, lev_b, uv, linear,
+    ca = _sample_level(atlas, base_x, base_y, w0, h0, lev_a, u, v, linear)
+    cb = _sample_level(atlas, base_x, base_y, w0, h0, lev_b, u, v, linear,
                        active=frac > 0.0)
-    return ca * (1.0 - frac[..., None]) + cb * frac[..., None]
+    inv = 1.0 - frac
+    return tuple(a * inv + b * frac for a, b in zip(ca, cb))
 
 
 def light_and_texture(normal, color_in, uv, texmeta, atlas, ambient_rgb,
                       sun_dir, sun_power, textured: bool = True):
-    """mesh.frag:12-19 given already-interpolated attributes.
+    """mesh.frag:12-19 given already-interpolated attribute PLANES.
 
-    texmeta: (..., 6) [base_x, base_y, w0, h0, n_levels, filter_flags].
+    normal: (nx, ny, nz) planes; color_in: (r, g, b) planes; uv: (u, v)
+    planes; texmeta: 6-tuple of planes [base_x, base_y, w0, h0, n_levels,
+    filter_flags]. Returns (r, g, b) planes.
     """
-    hp, wp = normal.shape[:2]
+    nx, ny, nz = normal
     if textured:
-        tex_rgb = sample_texture(
-            atlas, texmeta[..., 0], texmeta[..., 1], texmeta[..., 2],
-            texmeta[..., 3], texmeta[..., 4], texmeta[..., 5], uv)
+        tex = sample_texture(atlas, texmeta[0], texmeta[1], texmeta[2],
+                             texmeta[3], texmeta[4], texmeta[5], uv[0], uv[1])
     else:
-        tex_rgb = jnp.ones((hp, wp, 3), jnp.float32)
+        tex = (None, None, None)
     # mesh.frag:13 — light = max(dot(N, sunlight_direction.xyz), 0.1);
     # N is the interpolated model-rotated normal, NOT renormalized.
     light = jnp.maximum(
-        normal[..., 0] * sun_dir[0] + normal[..., 1] * sun_dir[1]
-        + normal[..., 2] * sun_dir[2],
+        nx * sun_dir[0] + ny * sun_dir[1] + nz * sun_dir[2],
         jnp.float32(0.1),
     )
     # mesh.frag:15-18
-    color = color_in * tex_rgb
-    return color * (light * sun_power)[..., None] + color * ambient_rgb[None, None, :]
+    scale = light * sun_power
+    out = []
+    for c in range(3):
+        color = color_in[c] * tex[c] if textured else color_in[c]
+        out.append(color * scale + color * ambient_rgb[c])
+    return tuple(out)
 
 
 def shade_fused(attrs, meta, atlas, ambient_rgb, sun_dir, sun_power,
@@ -197,20 +211,20 @@ def shade_fused(attrs, meta, atlas, ambient_rgb, sun_dir, sun_power,
 
     attrs: (8, Hp, Wp) interpolated normal/rgb/uv planes;
     meta: (6, Hp, Wp) texture metadata planes.
-    Returns (Hp, Wp, 3) rgb.
+    Returns (3, Hp, Wp) rgb (channel-major — never a channel-minor image).
     """
-    a = jnp.moveaxis(attrs, 0, -1)
-    m = jnp.moveaxis(meta, 0, -1)
-    return light_and_texture(a[..., 0:3], a[..., 3:6], a[..., 6:8], m,
-                             atlas, ambient_rgb, sun_dir, sun_power,
-                             textured=textured)
+    r, g, b = light_and_texture(
+        (attrs[0], attrs[1], attrs[2]), (attrs[3], attrs[4], attrs[5]),
+        (attrs[6], attrs[7]), tuple(meta[m] for m in range(6)),
+        atlas, ambient_rgb, sun_dir, sun_power, textured=textured)
+    return jnp.stack([r, g, b])
 
 
 def shade_core(t, shade_rows, atlas, ambient_rgb, sun_dir, sun_power,
                textured: bool = True):
     """mesh.frag for per-pixel triangle index t (clamped valid index; pixels
     whose t is a placeholder produce garbage the caller masks).
-    Returns (H, W, 3) f32 linear rgb.
+    Returns (3, H, W) f32 linear rgb.
     """
     hp, wp = t.shape
     g = shade_rows[t]                                  # (Hp,Wp,48) — gather 1
@@ -222,21 +236,21 @@ def shade_core(t, shade_rows, atlas, ambient_rgb, sun_dir, sun_power,
     c2 = g[..., 6] * xx + g[..., 7] * yy + g[..., 8]
     csum = c0 + c1 + c2
     inv = jnp.where(csum != 0.0, 1.0 / csum, 0.0)
-    b0 = (c0 * inv)[..., None]
-    b1 = (c1 * inv)[..., None]
-    b2 = (c2 * inv)[..., None]
+    b0 = c0 * inv
+    b1 = c1 * inv
+    b2 = c2 * inv
 
-    a0 = g[..., C_ATTR:C_ATTR + 8]
-    a1 = g[..., C_ATTR + 8:C_ATTR + 16]
-    a2 = g[..., C_ATTR + 16:C_ATTR + 24]
-    interp = a0 * b0 + a1 * b1 + a2 * b2               # perspective-correct
-    normal = interp[..., 0:3]
-    color_in = interp[..., 3:6]
-    uv = interp[..., 6:8]
-
-    return light_and_texture(normal, color_in, uv, g[..., C_TEX:C_TEX + 6],
-                             atlas, ambient_rgb, sun_dir, sun_power,
-                             textured=textured)
+    # perspective-correct interpolation, one plane per attribute
+    interp = [
+        g[..., C_ATTR + a] * b0 + g[..., C_ATTR + 8 + a] * b1
+        + g[..., C_ATTR + 16 + a] * b2
+        for a in range(8)
+    ]
+    r, gg, b = light_and_texture(
+        (interp[0], interp[1], interp[2]), (interp[3], interp[4], interp[5]),
+        (interp[6], interp[7]), tuple(g[..., C_TEX + m] for m in range(6)),
+        atlas, ambient_rgb, sun_dir, sun_power, textured=textured)
+    return jnp.stack([r, gg, b])
 
 
 def shade(tid, shade_rows, atlas, ambient_rgb, sun_dir, sun_power, background):
@@ -250,7 +264,7 @@ def shade(tid, shade_rows, atlas, ambient_rgb, sun_dir, sun_power, background):
     valid = tid >= 0
     t = jnp.where(valid, tid, 0)
     out_rgb = shade_core(t, shade_rows, atlas, ambient_rgb, sun_dir, sun_power)
-    rgb = jnp.where(valid[None, :, :], jnp.moveaxis(out_rgb, -1, 0), background[:3])
+    rgb = jnp.where(valid[None, :, :], out_rgb, background[:3])
     alpha = jnp.where(valid, jnp.float32(1.0), background[3])
     return jnp.concatenate([rgb, alpha[None]], axis=0)
 
@@ -268,7 +282,6 @@ def blend_layer(fb, tid, shade_rows, atlas, ambient_rgb, sun_dir, sun_power,
     t = jnp.where(found, tid, 0)
     src = shade_core(t, shade_rows, atlas, ambient_rgb, sun_dir, sun_power,
                      textured=textured)
-    src = jnp.moveaxis(src, -1, 0)
     dst_rgb = fb[:3]
     dst_a = fb[3]
     rgb = jnp.where(found[None], src + dst_rgb * dst_a[None], dst_rgb)

@@ -188,7 +188,7 @@ def render_frame_multichip(buffers: SceneBuffers, params: FrameParams, *,
                 planes[:8], planes[8:], buffers.atlas, params.ambient[:3],
                 params.sun_dir[:3], params.sun_color[3])
             valid = tid_win >= 0
-            rgb = jnp.where(valid[None], jnp.moveaxis(shaded, -1, 0), fb[:3])
+            rgb = jnp.where(valid[None], shaded, fb[:3])
             alpha = jnp.where(valid, jnp.float32(1.0), fb[3])
             fb = q(jnp.concatenate([rgb, alpha[None]], axis=0))
         else:
@@ -242,7 +242,7 @@ def render_frame_multichip(buffers: SceneBuffers, params: FrameParams, *,
                         tl_layer, rows_t, buffers.atlas, params.ambient[:3],
                         params.sun_dir[:3], params.sun_color[3],
                         textured=transp_textured)
-                    src = jnp.where(found[None], jnp.moveaxis(src, -1, 0), 0.0)
+                    src = jnp.where(found[None], src, 0.0)
                     delta = delta + src
                     cnt = cnt + found.astype(jnp.int32)
                     last = jnp.where(found, layer, raster.ID_INF)

@@ -172,7 +172,7 @@ def render_frame(buffers: SceneBuffers, params: FrameParams, *,
             shaded = shade.shade_fused(
                 attrs_px, meta_px, buffers.atlas, params.ambient[:3],
                 params.sun_dir[:3], params.sun_color[3])
-            rgb = jnp.where(valid[None], jnp.moveaxis(shaded, -1, 0), fb[:3])
+            rgb = jnp.where(valid[None], shaded, fb[:3])
             alpha = jnp.where(valid, jnp.float32(1.0), fb[3])
             fb = q(jnp.concatenate([rgb, alpha[None]], axis=0))
         else:
@@ -256,7 +256,6 @@ def render_frame(buffers: SceneBuffers, params: FrameParams, *,
                         attrs_px, meta_px, buffers.atlas, params.ambient[:3],
                         params.sun_dir[:3], params.sun_color[3],
                         textured=transp_textured)
-                    src = jnp.moveaxis(src, -1, 0)
                     # additive blend (vk_pipelines.cpp:157-167)
                     rgb = jnp.where(found[None], src + fb[:3] * fb[3][None], fb[:3])
                     alpha = jnp.where(found, jnp.float32(1.0), fb[3])
