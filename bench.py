@@ -94,7 +94,7 @@ def _run() -> int:
     for i in range(frames):
         eng.camera.yaw = np.float32(0.002 * i)
         img_dev, aux = eng.draw_device(eng.update_scene())
-        float(_jnp.sum(img_dev[::191, ::127, 0].astype(_jnp.int32)))
+        float(_jnp.sum((img_dev[::191, ::127] & 0xFF).astype(_jnp.int32)))
     dt_inter = time.perf_counter() - t1
     eng._update_stats(aux)
 

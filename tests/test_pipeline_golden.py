@@ -31,7 +31,9 @@ def render(scene, *, view=None, proj=None, bg_effect=0,
     )
     img, aux = render_frame(flat.buffers, params, width=width, height=height,
                             bin_cap=128)
-    return np.asarray(img), aux
+    from tpu_renderer.present import unpack_u8
+
+    return unpack_u8(np.asarray(img)), aux
 
 
 def test_colored_triangle():

@@ -37,7 +37,7 @@ def main():
     from tpu_renderer.engine import Engine
     from tpu_renderer.kernels import raster, shade, vertex
     from tpu_renderer.kernels.common import pad_extent
-    from tpu_renderer.present import to_u8_image
+    from tpu_renderer.present import to_packed_u32
     from tpu_renderer.utils.demo import build_demo_glb
 
     path = os.path.join(tempfile.gettempdir(), f"bench_scene_{args.grid}.glb")
@@ -158,7 +158,7 @@ def main():
             if upto == 7:
                 return checksum(fb)
 
-            image = to_u8_image(fb, width=width, height=height)
+            image = to_packed_u32(fb, width=width, height=height)
             return checksum(image.astype(jnp.float32))
 
         @jax.jit

@@ -104,7 +104,9 @@ def cmd_milestone(args) -> int:
 
     img, _ = render_frame(eng.flat.buffers, params, width=args.width,
                           height=args.height, **eng._caps)
-    save_png(np.asarray(img), args.out)
+    from tpu_renderer.present import unpack_u8
+
+    save_png(unpack_u8(np.asarray(img)), args.out)
     print(f"wrote {args.out}")
     return 0
 

@@ -166,7 +166,9 @@ class Engine:
                 if self._caps == caps:
                     break
                 image, aux = self.draw_device()
-        out = np.asarray(image)
+        from tpu_renderer.present import unpack_u8
+
+        out = unpack_u8(np.asarray(image))
         self.stats.mesh_draw_time = (time.perf_counter() - t0) * 1000.0
         if hud:
             from tpu_renderer.hud import draw_stats

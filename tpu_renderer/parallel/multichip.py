@@ -34,7 +34,7 @@ from tpu_renderer.kernels import background as bg
 from tpu_renderer.kernels import raster, shade, vertex
 from tpu_renderer.kernels.common import pad_extent
 from tpu_renderer.pipeline import FrameParams, SceneBuffers
-from tpu_renderer.present import to_u8_image
+from tpu_renderer.present import to_packed_u32
 
 
 def make_mesh(n_rows: int, n_tri: int = 1, devices=None) -> Mesh:
@@ -92,7 +92,7 @@ def render_frame_multichip(buffers: SceneBuffers, params: FrameParams, *,
                            tri_cap: int = 1024, fp16: bool = True,
                            transp_textured: bool = True, fused: bool = True):
     """Sharded frame: scene replicated, framebuffer sharded over 'rows',
-    triangles sharded over 'tri'. Returns the (H, W, 4) uint8 image."""
+    triangles sharded over 'tri'. Returns the (H, W) u32 packed-RGBA image."""
     n_rows = mesh.shape["rows"]
     n_tri = mesh.shape["tri"]
     wp, hp = pad_extent(width, height, tile_h, tile_w * 1)
@@ -264,4 +264,4 @@ def render_frame_multichip(buffers: SceneBuffers, params: FrameParams, *,
         return fb
 
     fb = band_render(buffers, params, ov, od, oval, tv, td, tval)
-    return to_u8_image(fb, width=width, height=height)
+    return to_packed_u32(fb, width=width, height=height)

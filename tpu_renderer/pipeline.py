@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from tpu_renderer.kernels import background as bg
 from tpu_renderer.kernels import raster, shade, vertex
 from tpu_renderer.kernels.common import pad_extent
-from tpu_renderer.present import to_u8_image
+from tpu_renderer.present import to_packed_u32
 from tpu_renderer.resources import TextureAtlas
 
 
@@ -113,7 +113,8 @@ def render_frame(buffers: SceneBuffers, params: FrameParams, *,
                  tri_cap: int = 1024, fp16: bool = True,
                  transp_textured: bool = True, fused: bool = True,
                  bg_fb=None):
-    """Render one frame. Returns ((H, W, 4) uint8 image, aux dict).
+    """Render one frame. Returns ((H, W) uint32 packed-RGBA image — see
+    present.unpack_u8 for the host-side channel view — and an aux dict).
 
     bg_fb: optional precomputed (4, Hp, Wp) background (render_frames hoists
     it out of the frame scan — the effect is a pure function of the
@@ -285,7 +286,7 @@ def render_frame(buffers: SceneBuffers, params: FrameParams, *,
         aux["bin_overflow_transparent"] = overflow_t
         aux["transparent_layers"] = layers_found
 
-    image = to_u8_image(fb, width=width, height=height)
+    image = to_packed_u32(fb, width=width, height=height)
     return image, aux
 
 
@@ -313,9 +314,9 @@ def render_frames(buffers: SceneBuffers, params_batch: FrameParams, **kw):
 
     def step(_, p):
         img, _aux = render_frame(buffers, p, bg_fb=bg_fb, **kw)
-        checksum = img[::191, ::127, 0].astype(jnp.int32).sum()
+        checksum = (img[::191, ::127] & 0xFF).astype(jnp.int32).sum()
         return img, checksum
 
-    init = jnp.zeros((kw["height"], kw["width"], 4), jnp.uint8)
+    init = jnp.zeros((kw["height"], kw["width"]), jnp.uint32)
     last, sums = jax.lax.scan(step, init, params_batch)
     return last, sums
