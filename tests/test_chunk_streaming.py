@@ -67,3 +67,77 @@ def test_chunk_accum_matches_gathered_reference():
     a2, c2 = raster.rasterize_accum_chunks(rows, cbins, ccounts, z, light, **KW)
     np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
     np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=1e-6)
+
+
+def _full_setup(scene):
+    s, rows, cbins, ccounts = _setup(scene)
+    flat_valid = None
+    caabb, cvalid = raster.chunk_aabbs(s.aabb, s.valid)
+    bins_full, counts_full = raster.bin_triangles_full(caabb, cvalid, **KW)
+    return s, rows, cbins, ccounts, bins_full, counts_full
+
+
+def test_bin_triangles_full_matches_capped():
+    """Uncapped dense bins = capped bins when the cap is big enough."""
+    s, rows, cbins, ccounts, bins_full, counts_full = _full_setup(
+        _multi_quad_scene())
+    np.testing.assert_array_equal(np.asarray(counts_full),
+                                  np.asarray(ccounts))
+    cap = cbins.shape[1]
+    np.testing.assert_array_equal(np.asarray(bins_full)[:, :cap],
+                                  np.asarray(cbins))
+
+
+def test_slab_raster_matches_single_call():
+    """Slabbed raster (tiny slab width => several carried-state slabs) must
+    equal the one-shot chunk raster bit-for-bit."""
+    s, rows, cbins, ccounts, bins_full, counts_full = _full_setup(
+        _multi_quad_scene(40))
+    z1, t1, a1, m1 = raster.rasterize_fused_chunks(rows, cbins, ccounts, **KW)
+    assert counts_full.max() > 8  # the tiny slab width below must split
+    z2, t2, a2, m2 = raster.rasterize_fused_slabs(
+        rows, bins_full, counts_full, slab_cap=8, **KW)
+    np.testing.assert_array_equal(np.asarray(z1), np.asarray(z2))
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+
+
+def test_slab_accum_matches_single_call():
+    s, rows, cbins, ccounts, bins_full, counts_full = _full_setup(
+        _multi_quad_scene(40))
+    assert counts_full.max() > 8
+    light = jnp.asarray([0.2, 0.8, 0.5, 1.0, 0.1, 0.1, 0.1, 0.0], jnp.float32)
+    z = jnp.full((TY * 32, TX * 128), raster.DEPTH_CLEAR, jnp.float32)
+    a1, c1 = raster.rasterize_accum_chunks(rows, cbins, ccounts, z, light,
+                                           **KW)
+    a2, c2 = raster.rasterize_accum_slabs(rows, bins_full, counts_full, z,
+                                          light, slab_cap=8, **KW)
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+    # slab-partial sums associate differently than one in-kernel sum; the
+    # difference is FP noise far below the unorm8 quantization step (1/255)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=1e-4)
+
+
+def test_slab_peel_matches_gathered_reference():
+    """Slab peel (tiny slabs) must equal the gathered-row peel oracle across
+    SEVERAL peel iterations (the `last` plane feeds back)."""
+    s, rows, cbins, ccounts, bins_full, counts_full = _full_setup(
+        _multi_quad_scene(40))
+    assert counts_full.max() > 8
+    bins_t, counts_t = raster.expand_bins(cbins, ccounts)
+    hp, wp = TY * 32, TX * 128
+    z = jnp.full((hp, wp), raster.DEPTH_CLEAR, jnp.float32)
+    last1 = jnp.full((hp, wp), -1, jnp.int32)
+    last2 = jnp.full((hp, wp), -1, jnp.int32)
+    for _ in range(3):
+        l1, a1, m1 = raster.rasterize_peel_fused(rows, bins_t, counts_t, z,
+                                                 last1, **KW)
+        l2, a2, m2 = raster.rasterize_peel_slabs(rows, bins_full, counts_full,
+                                                 z, last2, slab_cap=8, **KW)
+        np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+        np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+        np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+        f1 = l1 < raster.ID_INF
+        last1 = jnp.where(f1, l1, raster.ID_INF)
+        last2 = jnp.where(l2 < raster.ID_INF, l2, raster.ID_INF)

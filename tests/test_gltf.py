@@ -261,3 +261,37 @@ def test_hierarchy_top_nodes(tmp_path):
     parsed = gltf.load_gltf(path)
     assert parsed.top_nodes == [1]
     assert parsed.nodes[1].children == [0]
+
+
+def test_vec3_colors_alpha_defaults_to_one(tmp_path):
+    """COLOR_0 may be VEC3 (glTF 2.0 spec); alpha then defaults to 1 — the
+    reference's accessor iteration fills a vec4 the same way
+    (vk_loader.cpp:345-352)."""
+    b = GLBBuilder()
+    pos = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    col = np.array([[0.25, 0.5, 0.75]] * 3, np.float32)
+    b.add_mesh([dict(positions=pos, indices=[0, 1, 2])])
+    acc = b.add_accessor(col, "VEC3", 5126)
+    b.gltf["meshes"][0]["primitives"][0]["attributes"]["COLOR_0"] = acc
+    b.add_node(mesh=0)
+    path = str(tmp_path / "c3.glb")
+    b.save(path)
+    m = gltf.load_gltf(path).meshes[0]
+    np.testing.assert_allclose(m.colors, [[0.25, 0.5, 0.75, 1.0]] * 3)
+
+
+def test_normalized_u16_uvs(tmp_path):
+    """KHR_mesh_quantization-style normalized u16 TEXCOORD_0 (the reference
+    enables that extension, vk_loader.cpp:169-178)."""
+    b = GLBBuilder()
+    pos = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    uv = np.array([[0, 0], [65535, 0], [0, 32768]], np.uint16)
+    b.add_mesh([dict(positions=pos, indices=[0, 1, 2])])
+    acc = b.add_accessor(uv, "VEC2", 5123, normalized=True)
+    b.gltf["meshes"][0]["primitives"][0]["attributes"]["TEXCOORD_0"] = acc
+    b.add_node(mesh=0)
+    path = str(tmp_path / "quv.glb")
+    b.save(path)
+    m = gltf.load_gltf(path).meshes[0]
+    np.testing.assert_allclose(
+        m.uvs, [[0, 0], [1, 0], [0, 32768 / 65535]], atol=1e-6)

@@ -90,8 +90,10 @@ def test_multichip_stacked_transparent_layers():
     assert diff.max() <= 1, f"max u8 diff {diff.max()}"
 
 
-def test_multichip_textured_transparent_unbounded():
-    """Textured-transparent goes through the per-shard peel while_loop."""
+@pytest.mark.parametrize("fused", [True, False])
+def test_multichip_textured_transparent_unbounded(fused):
+    """Textured-transparent goes through the per-shard peel while_loop
+    (fused=True: the chunk-streaming slab peel; False: the deferred one)."""
     if len(jax.devices()) < 4:
         pytest.skip("not enough devices")
     tex = np.full((4, 4, 4), 255, np.uint8)
@@ -102,11 +104,11 @@ def test_multichip_textured_transparent_unbounded():
     params = _params(bg_data1=jnp.asarray([0.1, 0.1, 0.1, 1.0], jnp.float32),
                      bg_data2=jnp.asarray([0.1, 0.1, 0.1, 1.0], jnp.float32))
     single, _ = render_frame(flat.buffers, params, width=W, height=H,
-                             bin_cap=128, transp_textured=True, fused=False)
+                             bin_cap=128, transp_textured=True, fused=fused)
     mesh = make_mesh(2, 2)
     multi = render_frame_multichip(flat.buffers, params, mesh=mesh,
                                    width=W, height=H,
                                    bin_cap=128, transp_textured=True,
-                                   fused=False)
+                                   fused=fused)
     diff = np.abs(np.asarray(multi).astype(int) - np.asarray(single).astype(int))
     assert diff.max() <= 1, f"max u8 diff {diff.max()}"

@@ -7,6 +7,8 @@ import os
 import sys
 import tempfile
 
+sys.path.insert(0, __file__.rsplit("/", 2)[0])  # repo root for tpu_renderer
+
 import numpy as np
 
 GALLERY = os.path.join(os.path.dirname(__file__), "..", "docs", "gallery")

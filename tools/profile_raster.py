@@ -13,6 +13,10 @@ import os
 import tempfile
 import time
 
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])  # repo root for tpu_renderer
+
 import numpy as np
 
 

@@ -143,6 +143,52 @@ def bin_triangles(aabb, valid, *, tiles_x: int, tiles_y: int, tile_w: int,
     return bins, counts, overflow
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("tiles_x", "tiles_y", "tile_w", "tile_h"),
+)
+def bin_triangles_full(aabb, valid, *, tiles_x: int, tiles_y: int,
+                       tile_w: int, tile_h: int):
+    """Dense binning with NO capacity: every (tile, item) overlap is kept.
+
+    Same dense broadcast-overlap + row-wise-sort as bin_triangles, but the
+    output keeps the full sorted width (padded to a multiple of 8): nothing
+    can ever overflow or drop. The capacity bound moves into the raster's
+    slab loop (rasterize_fused_slabs), which walks the wide bins in
+    fixed-width slabs — so the escalate-and-redraw dance is gone
+    structurally. The reference's pipeline has no capacity cliff either
+    (vkCmdDrawIndexed, vk_engine.cpp:1453).
+
+    Returns (bins (n_tiles, Wp) i32 item ids padded with -1,
+             counts (n_tiles,) i32 — exact, never clamped).
+    """
+    T = aabb.shape[0]
+    n_tiles = tiles_x * tiles_y
+
+    packed = _pack_tile_aabb(aabb, tiles_x, tiles_y, tile_w, tile_h)
+    tiles = jnp.arange(n_tiles, dtype=jnp.int32)
+    tx = (tiles % tiles_x)[:, None]
+    ty = (tiles // tiles_x)[:, None]
+    x0 = (packed & 0xFF)[None, :]
+    y0 = ((packed >> 8) & 0xFF)[None, :]
+    x1 = ((packed >> 16) & 0xFF)[None, :]
+    y1 = ((packed >> 24) & 0xFF)[None, :]
+    hit = (valid[None, :] & (x0 <= x1)
+           & (x0 <= tx) & (x1 >= tx) & (y0 <= ty) & (y1 >= ty))
+
+    counts = jnp.sum(hit.astype(jnp.int32), axis=1)
+    slot = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None, :],
+                            (n_tiles, T))
+    key = jnp.where(hit, slot, slot + T)
+    key_sorted = jax.lax.sort(key, dimension=1)
+    in_bin = jnp.arange(T, dtype=jnp.int32)[None, :] < counts[:, None]
+    bins = jnp.where(in_bin, key_sorted, NO_TRI)
+    Tp = cdiv(T, 8) * 8
+    if Tp != T:
+        bins = jnp.pad(bins, ((0, 0), (0, Tp - T)), constant_values=NO_TRI)
+    return bins, counts
+
+
 def full_bins(n_chunks: int, n_tiles: int, bin_cap: int):
     """Trivial binning: every tile tests every chunk (small scenes/tests)."""
     assert bin_cap >= n_chunks
@@ -643,16 +689,20 @@ def rasterize_fused(fat_rows, bins, counts, *, tiles_x: int, tiles_y: int,
     return z, tid, attrs, meta
 
 
-def _raster_chunks_kernel(counts_ref, bins_ref, rows_hbm, z_ref, tid_ref,
-                          attr_ref, meta_ref, scratch_ref, sem_ref, *,
-                          tiles_x: int, tile_h: int, tile_w: int):
-    """Fused raster that streams fat rows from HBM per binned CHUNK.
+def _chunks_stream_loop(counts_ref, bins_ref, rows_hbm, scratch_ref, sem_ref,
+                        init_state, *, tiles_x: int, tile_h: int,
+                        tile_w: int):
+    """Shared chunk-streaming raster loop (fused visibility + attributes).
 
     Instead of an XLA-side (n_tiles, tri_cap) row gather (pays per dead slot
     and caps per-tile capacity), each tile walks its chunk-bin list and DMAs
-    the chunk's CHUNK x 64-f32 row block HBM -> VMEM, double-buffered so the
+    the chunk's CHUNK x 128-f32 row block HBM -> VMEM, double-buffered so the
     copy of chunk k+1 overlaps the raster of chunk k. The loop bound is the
     tile's REAL chunk count — empty tiles cost nothing.
+
+    init_state/return: (z, tid, csum, nums x8, metas x6) tile planes with
+    csum/nums PRE-divide (the perspective divide happens in XLA after the
+    last slab — see rasterize_fused_slabs).
     """
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -741,25 +791,137 @@ def _raster_chunks_kernel(counts_ref, bins_ref, rows_hbm, z_ref, tid_ref,
         # savings under this draw order. Eval unconditionally.)
         return eval_chunk(carry)
 
-    z0 = jnp.full((tile_h, tile_w), DEPTH_CLEAR, jnp.float32)
-    tid0 = jnp.full((tile_h, tile_w), NO_TRI, jnp.int32)
-    cs0 = jnp.ones((tile_h, tile_w), jnp.float32)
-    nums0 = tuple(jnp.zeros((tile_h, tile_w), jnp.float32) for _ in range(8))
-    metas0 = tuple(jnp.zeros((tile_h, tile_w), jnp.float32) for _ in range(6))
-    z1, tid1, cs1, nums1, metas1 = jax.lax.fori_loop(
-        0, n, chunk_body, (z0, tid0, cs0, nums0, metas0))
+    return jax.lax.fori_loop(0, n, chunk_body, init_state)
+
+
+def _write_state(refs, state):
+    z_ref, tid_ref, cs_ref, nums_ref, metas_ref = refs
+    z1, tid1, cs1, nums1, metas1 = state
     z_ref[:, :] = z1
     tid_ref[:, :] = tid1
-    inv = jnp.where(cs1 != 0.0, 1.0 / cs1, 0.0)
+    cs_ref[:, :] = cs1
     for a in range(8):
-        attr_ref[a, :, :] = nums1[a] * inv
+        nums_ref[a, :, :] = nums1[a]
     for m in range(6):
-        meta_ref[m, :, :] = metas1[m]
+        metas_ref[m, :, :] = metas1[m]
+
+
+def _raster_chunks_fresh_kernel(counts_ref, bins_ref, rows_hbm,
+                                z_ref, tid_ref, cs_ref, nums_ref, metas_ref,
+                                scratch_ref, sem_ref, *,
+                                tiles_x: int, tile_h: int, tile_w: int):
+    """First slab: fresh framebuffer state (cleared z/tid, identity csum)."""
+    init = (
+        jnp.full((tile_h, tile_w), DEPTH_CLEAR, jnp.float32),
+        jnp.full((tile_h, tile_w), NO_TRI, jnp.int32),
+        jnp.ones((tile_h, tile_w), jnp.float32),
+        tuple(jnp.zeros((tile_h, tile_w), jnp.float32) for _ in range(8)),
+        tuple(jnp.zeros((tile_h, tile_w), jnp.float32) for _ in range(6)),
+    )
+    state = _chunks_stream_loop(counts_ref, bins_ref, rows_hbm, scratch_ref,
+                                sem_ref, init, tiles_x=tiles_x,
+                                tile_h=tile_h, tile_w=tile_w)
+    _write_state((z_ref, tid_ref, cs_ref, nums_ref, metas_ref), state)
+
+
+def _raster_chunks_state_kernel(counts_ref, bins_ref, rows_hbm,
+                                z_in, tid_in, cs_in, nums_in, metas_in,
+                                z_ref, tid_ref, cs_ref, nums_ref, metas_ref,
+                                scratch_ref, sem_ref, *,
+                                tiles_x: int, tile_h: int, tile_w: int):
+    """Continuation slab: carries the previous slab's framebuffer state."""
+    init = (
+        z_in[:, :],
+        tid_in[:, :],
+        cs_in[:, :],
+        tuple(nums_in[a, :, :] for a in range(8)),
+        tuple(metas_in[m, :, :] for m in range(6)),
+    )
+    state = _chunks_stream_loop(counts_ref, bins_ref, rows_hbm, scratch_ref,
+                                sem_ref, init, tiles_x=tiles_x,
+                                tile_h=tile_h, tile_w=tile_w)
+    _write_state((z_ref, tid_ref, cs_ref, nums_ref, metas_ref), state)
 
 
 ROW_PAD = 128  # fat rows padded 48 -> 128 f32: Mosaic requires HBM slice
 #                shapes 128-aligned on the minor dimension (the chunk block
 #                is then a 4 KiB aligned contiguous slice)
+
+
+def _prep_stream_rows(fat_rows):
+    """(T, 48) fat rows -> (C, CHUNK, ROW_PAD) HBM-DMA-able chunk blocks
+    (column 47 gets the global triangle id)."""
+    T = fat_rows.shape[0]
+    fat_rows = fat_rows.at[:, 47].set(
+        jnp.arange(T, dtype=jnp.int32).astype(jnp.float32))
+    rows64 = jnp.pad(fat_rows, ((0, 0), (0, ROW_PAD - fat_rows.shape[1])))
+    return rows64.reshape(T // CHUNK, CHUNK, ROW_PAD)
+
+
+def _state_shapes(hp: int, wp: int):
+    return (
+        jax.ShapeDtypeStruct((hp, wp), jnp.float32),    # z
+        jax.ShapeDtypeStruct((hp, wp), jnp.int32),      # tid
+        jax.ShapeDtypeStruct((hp, wp), jnp.float32),    # csum
+        jax.ShapeDtypeStruct((8, hp, wp), jnp.float32),  # attr numerators
+        jax.ShapeDtypeStruct((6, hp, wp), jnp.float32),  # meta
+    )
+
+
+def _state_specs(tile_h: int, tile_w: int):
+    return (
+        pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, tile_h, tile_w), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((6, tile_h, tile_w), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
+    )
+
+
+def _stream_slab_call(ccounts, bins3, rows64, state, *, tiles_x: int,
+                      tiles_y: int, tile_w: int, tile_h: int):
+    """One chunk-streaming raster pass. state=None -> fresh framebuffer."""
+    n_tiles, bcap = bins3.shape[:2]
+    hp = tiles_y * tile_h
+    wp = tiles_x * tile_w
+    base_specs = [
+        pl.BlockSpec((n_tiles, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, bcap, 1),
+                     lambda i, j, _tx=tiles_x: (i * _tx + j, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pl.ANY),  # fat rows stay in HBM
+    ]
+    common = dict(
+        out_shape=_state_shapes(hp, wp),
+        grid=(tiles_y, tiles_x),
+        out_specs=_state_specs(tile_h, tile_w),
+        scratch_shapes=[
+            pltpu.VMEM((2 * CHUNK, ROW_PAD), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=use_interpret(),
+    )
+    if state is None:
+        return pl.pallas_call(
+            functools.partial(_raster_chunks_fresh_kernel, tiles_x=tiles_x,
+                              tile_h=tile_h, tile_w=tile_w),
+            in_specs=base_specs,
+            **common,
+        )(ccounts.reshape(n_tiles, 1), bins3, rows64)
+    return pl.pallas_call(
+        functools.partial(_raster_chunks_state_kernel, tiles_x=tiles_x,
+                          tile_h=tile_h, tile_w=tile_w),
+        in_specs=base_specs + list(_state_specs(tile_h, tile_w)),
+        # carry the 17 framebuffer-state planes in place
+        input_output_aliases={3: 0, 4: 1, 5: 2, 6: 3, 7: 4},
+        **common,
+    )(ccounts.reshape(n_tiles, 1), bins3, rows64, *state)
+
+
+def _state_to_outputs(state):
+    z, tid, cs, nums, metas = state
+    inv = jnp.where(cs != 0.0, 1.0 / cs, 0.0)
+    return z, tid, nums * inv[None], metas
 
 
 @functools.partial(
@@ -783,45 +945,58 @@ def rasterize_fused_chunks(fat_rows, cbins, ccounts, *, tiles_x: int,
                         constant_values=NO_TRI)
         bcap = bcap_pad
 
-    fat_rows = fat_rows.at[:, 47].set(
-        jnp.arange(T, dtype=jnp.int32).astype(jnp.float32))
-    rows64 = jnp.pad(fat_rows, ((0, 0), (0, ROW_PAD - fat_rows.shape[1])))
-    rows64 = rows64.reshape(C, CHUNK, ROW_PAD)
+    rows64 = _prep_stream_rows(fat_rows)
     bins3 = jnp.clip(cbins, 0, C - 1)[:, :, None]
+    state = _stream_slab_call(ccounts, bins3, rows64, None, tiles_x=tiles_x,
+                              tiles_y=tiles_y, tile_w=tile_w, tile_h=tile_h)
+    return _state_to_outputs(state)
 
-    hp = tiles_y * tile_h
-    wp = tiles_x * tile_w
 
-    z, tid, attrs, meta = pl.pallas_call(
-        functools.partial(_raster_chunks_kernel, tiles_x=tiles_x,
-                          tile_h=tile_h, tile_w=tile_w),
-        out_shape=(
-            jax.ShapeDtypeStruct((hp, wp), jnp.float32),
-            jax.ShapeDtypeStruct((hp, wp), jnp.int32),
-            jax.ShapeDtypeStruct((8, hp, wp), jnp.float32),
-            jax.ShapeDtypeStruct((6, hp, wp), jnp.float32),
-        ),
-        grid=(tiles_y, tiles_x),
-        in_specs=[
-            pl.BlockSpec((n_tiles, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, bcap, 1),
-                         lambda i, j, _tx=tiles_x: (i * _tx + j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),  # fat rows stay in HBM
-        ],
-        out_specs=(
-            pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, tile_h, tile_w), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((6, tile_h, tile_w), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2 * CHUNK, ROW_PAD), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-        interpret=use_interpret(),
-    )(ccounts.reshape(n_tiles, 1), bins3, rows64)
-    return z, tid, attrs, meta
+SLAB_CAP = 4096  # chunk-bin slab width (32k triangles per tile per slab)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tiles_x", "tiles_y", "tile_w", "tile_h", "slab_cap"),
+)
+def rasterize_fused_slabs(fat_rows, bins_full, counts, *, tiles_x: int,
+                          tiles_y: int, tile_w: int, tile_h: int,
+                          slab_cap: int = SLAB_CAP):
+    """Fused raster over UNCAPPED dense bins, in slabs — never drops.
+
+    bins_full/counts: bin_triangles_full output over chunk AABBs. The wide
+    sorted bins are walked slab_cap columns at a time; each slab's kernel
+    carries the framebuffer state (z, tid, pre-divide attribute numerators)
+    from the previous slab, and slabs past a tile's count are skipped by a
+    whole-frame lax.cond (in the common case everything fits in slab 0 and
+    later slabs cost one predicate). The perspective divide runs once in XLA
+    after the last slab. This is the structural replacement for the old
+    escalate-and-redraw overflow handling (the reference's hardware pipeline
+    has no capacity cliff either, vk_engine.cpp:1453).
+    """
+    T = fat_rows.shape[0]
+    C = T // CHUNK
+    n_tiles, width = bins_full.shape
+    assert width % 8 == 0 and slab_cap % 8 == 0
+
+    rows64 = _prep_stream_rows(fat_rows)
+    kw = dict(tiles_x=tiles_x, tiles_y=tiles_y, tile_w=tile_w, tile_h=tile_h)
+
+    state = None
+    for s in range(0, width, slab_cap):
+        sbins = bins_full[:, s:s + slab_cap]
+        scounts = jnp.clip(counts - s, 0, sbins.shape[1])
+        bins3 = jnp.clip(sbins, 0, C - 1)[:, :, None]
+        if state is None:
+            state = _stream_slab_call(scounts, bins3, rows64, None, **kw)
+        else:
+            state = jax.lax.cond(
+                jnp.any(scounts > 0),
+                lambda st, sc=scounts, b3=bins3: _stream_slab_call(
+                    sc, b3, rows64, st, **kw),
+                lambda st: st,
+                state)
+    return _state_to_outputs(state)
 
 
 def _accum_fused_kernel(counts_ref, light_ref, rows_ref, zbase_ref,
@@ -1098,7 +1273,14 @@ def rasterize_accum_chunks(fat_rows, cbins, ccounts, z_base, light, *,
     rows64 = jnp.pad(fat_rows, ((0, 0), (0, ROW_PAD - fat_rows.shape[1])))
     rows64 = rows64.reshape(C, CHUNK, ROW_PAD)
     bins3 = jnp.clip(cbins, 0, C - 1)[:, :, None]
+    return _accum_slab_call(ccounts, light, bins3, rows64, z_base,
+                            tiles_x=tiles_x, tiles_y=tiles_y,
+                            tile_w=tile_w, tile_h=tile_h)
 
+
+def _accum_slab_call(ccounts, light, bins3, rows64, z_base, *, tiles_x: int,
+                     tiles_y: int, tile_w: int, tile_h: int):
+    n_tiles, bcap = bins3.shape[:2]
     hp = tiles_y * tile_h
     wp = tiles_x * tile_w
 
@@ -1129,6 +1311,50 @@ def rasterize_accum_chunks(fat_rows, cbins, ccounts, z_base, light, *,
         ],
         interpret=use_interpret(),
     )(ccounts.reshape(n_tiles, 1), light.reshape(1, 8), bins3, rows64, z_base)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tiles_x", "tiles_y", "tile_w", "tile_h", "slab_cap"),
+)
+def rasterize_accum_slabs(fat_rows, bins_full, counts, z_base, light, *,
+                          tiles_x: int, tiles_y: int, tile_w: int,
+                          tile_h: int, slab_cap: int = SLAB_CAP):
+    """Transparent accumulation over UNCAPPED dense bins, in slabs.
+
+    The accumulation is an order-independent SUM (see rasterize_accum_fused),
+    so slabbing needs no carried state: each slab's (acc, cnt) simply adds,
+    and slabs past every tile's count are skipped by one lax.cond. Nothing
+    is ever dropped — the structural analog of the reference blending every
+    transparent fragment (vk_engine.cpp:1459-1465).
+    """
+    T = fat_rows.shape[0]
+    C = T // CHUNK
+    n_tiles, width = bins_full.shape
+    assert width % 8 == 0 and slab_cap % 8 == 0
+
+    rows64 = jnp.pad(fat_rows, ((0, 0), (0, ROW_PAD - fat_rows.shape[1])))
+    rows64 = rows64.reshape(C, CHUNK, ROW_PAD)
+    kw = dict(tiles_x=tiles_x, tiles_y=tiles_y, tile_w=tile_w, tile_h=tile_h)
+
+    acc = cnt = None
+    for s in range(0, width, slab_cap):
+        sbins = bins_full[:, s:s + slab_cap]
+        scounts = jnp.clip(counts - s, 0, sbins.shape[1])
+        bins3 = jnp.clip(sbins, 0, C - 1)[:, :, None]
+        if acc is None:
+            acc, cnt = _accum_slab_call(scounts, light, bins3, rows64,
+                                        z_base, **kw)
+        else:
+            acc, cnt = jax.lax.cond(
+                jnp.any(scounts > 0),
+                lambda a, c, sc=scounts, b3=bins3: tuple(
+                    x + y for x, y in zip(
+                        (a, c),
+                        _accum_slab_call(sc, light, b3, rows64, z_base, **kw))),
+                lambda a, c: (a, c),
+                acc, cnt)
+    return acc, cnt
 
 
 def _peel_fused_kernel(counts_ref, rows_ref, zbase_ref, last_ref,
@@ -1254,3 +1480,251 @@ def rasterize_peel_fused(fat_rows, bins, counts, z_base, last_id, *,
         ),
         interpret=use_interpret(),
     )(counts.reshape(n_tiles, 1), rows, z_base, last_id)
+
+
+def _peel_stream_loop(counts_ref, bins_ref, rows_hbm, scratch_ref, sem_ref,
+                      zbase, last, init_state, *, tiles_x: int, tile_h: int,
+                      tile_w: int):
+    """Chunk-streaming transparency peel loop (fused attrs, carried state).
+
+    Same HBM->VMEM double-buffered chunk walk as _chunks_stream_loop, but
+    the per-pixel reduction is the PEEL rule: among fragments that pass the
+    opaque depth test (zv >= zbase) with id > last, keep the SMALLEST id —
+    submission-order peeling, one layer per call (the reference submits
+    transparent draws in list order, vk_engine.cpp:1459-1465).
+
+    init_state/return: (best id, csum, nums x8, metas x6) tile planes with
+    csum/nums PRE-divide, so slabs compose (rasterize_peel_slabs).
+    """
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    tile = i * tiles_x + j
+    n = counts_ref[tile, 0]
+    X, Y = _tile_coords(i, j, tile_h, tile_w)
+
+    def copy(k, slot):
+        cid = bins_ref[0, k, 0]
+        return pltpu.make_async_copy(
+            rows_hbm.at[cid],
+            scratch_ref.at[pl.ds(slot * CHUNK, CHUNK)],
+            sem_ref.at[slot])
+
+    @pl.when(n > 0)
+    def _():
+        copy(0, 0).start()
+
+    def chunk_body(k, carry):
+        best, csum, nums, metas = carry
+        slot = jax.lax.rem(k, 2)
+
+        @pl.when(k + 1 < n)
+        def _():
+            copy(k + 1, 1 - slot).start()
+
+        copy(k, slot).wait()
+        base = slot * CHUNK
+
+        takes = []
+        covs = []
+        for t in range(CHUNK):
+            r = lambda col, _t=t: scratch_ref[base + _t, col]  # noqa: E731
+            idx = r(47).astype(jnp.int32)
+            c0v = r(0) * X + r(1) * Y + r(2)
+            c1v = r(3) * X + r(4) * Y + r(5)
+            c2v = r(6) * X + r(7) * Y + r(8)
+            tl0 = (r(0) > 0.0) | ((r(0) == 0.0) & (r(1) > 0.0))
+            tl1 = (r(3) > 0.0) | ((r(3) == 0.0) & (r(4) > 0.0))
+            tl2 = (r(6) > 0.0) | ((r(6) == 0.0) & (r(7) > 0.0))
+            cov = (((c0v > 0.0) | ((c0v == 0.0) & tl0))
+                   & ((c1v > 0.0) | ((c1v == 0.0) & tl1))
+                   & ((c2v > 0.0) | ((c2v == 0.0) & tl2)))
+            zv = r(9) * X + r(10) * Y + r(11)
+            cov &= (zv >= 0.0) & (zv <= 1.0)
+            # padding rows inside a partial chunk have zero edge planes
+            # (never covered) — no per-triangle count mask needed
+            take = cov & (zv >= zbase) & (idx > last) & (idx < best)
+            best = jnp.where(take, idx, best)
+            takes.append(take)
+            covs.append((c0v, c1v, c2v))
+
+        group_any = takes[0]
+        for t in takes[1:]:
+            group_any = group_any | t
+
+        def attr_taken(args):
+            csum, nums, metas = args
+            for t in range(CHUNK):
+                r = lambda col, _t=t: scratch_ref[base + _t, col]  # noqa: E731
+                take = takes[t]
+                c0v, c1v, c2v = covs[t]
+                csum = jnp.where(take, c0v + c1v + c2v, csum)
+                new_nums = []
+                for a in range(8):
+                    num = (c0v * r(13 + a) + c1v * r(21 + a)
+                           + c2v * r(29 + a))
+                    new_nums.append(jnp.where(take, num, nums[a]))
+                nums = tuple(new_nums)
+                metas = tuple(
+                    jnp.where(take, r(37 + m), metas[m]) for m in range(6))
+            return csum, nums, metas
+
+        csum, nums, metas = jax.lax.cond(
+            jnp.any(group_any), attr_taken, lambda args: args,
+            (csum, nums, metas))
+        return best, csum, nums, metas
+
+    return jax.lax.fori_loop(0, n, chunk_body, init_state)
+
+
+def _peel_state_shapes(hp: int, wp: int):
+    return (
+        jax.ShapeDtypeStruct((hp, wp), jnp.int32),       # best (smallest id)
+        jax.ShapeDtypeStruct((hp, wp), jnp.float32),     # csum
+        jax.ShapeDtypeStruct((8, hp, wp), jnp.float32),  # attr numerators
+        jax.ShapeDtypeStruct((6, hp, wp), jnp.float32),  # meta
+    )
+
+
+def _peel_state_specs(tile_h: int, tile_w: int):
+    return (
+        pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, tile_h, tile_w), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((6, tile_h, tile_w), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
+    )
+
+
+def _peel_write_state(refs, state):
+    best_ref, cs_ref, nums_ref, metas_ref = refs
+    best1, cs1, nums1, metas1 = state
+    best_ref[:, :] = best1
+    cs_ref[:, :] = cs1
+    for a in range(8):
+        nums_ref[a, :, :] = nums1[a]
+    for m in range(6):
+        metas_ref[m, :, :] = metas1[m]
+
+
+def _peel_chunks_fresh_kernel(counts_ref, bins_ref, rows_hbm, zbase_ref,
+                              last_ref, best_ref, cs_ref, nums_ref, metas_ref,
+                              scratch_ref, sem_ref, *,
+                              tiles_x: int, tile_h: int, tile_w: int):
+    """First peel slab: fresh peel state (best = ID_INF, identity csum)."""
+    init = (
+        jnp.full((tile_h, tile_w), ID_INF, jnp.int32),
+        jnp.ones((tile_h, tile_w), jnp.float32),
+        tuple(jnp.zeros((tile_h, tile_w), jnp.float32) for _ in range(8)),
+        tuple(jnp.zeros((tile_h, tile_w), jnp.float32) for _ in range(6)),
+    )
+    state = _peel_stream_loop(counts_ref, bins_ref, rows_hbm, scratch_ref,
+                              sem_ref, zbase_ref[:, :], last_ref[:, :], init,
+                              tiles_x=tiles_x, tile_h=tile_h, tile_w=tile_w)
+    _peel_write_state((best_ref, cs_ref, nums_ref, metas_ref), state)
+
+
+def _peel_chunks_state_kernel(counts_ref, bins_ref, rows_hbm, zbase_ref,
+                              last_ref, best_in, cs_in, nums_in, metas_in,
+                              best_ref, cs_ref, nums_ref, metas_ref,
+                              scratch_ref, sem_ref, *,
+                              tiles_x: int, tile_h: int, tile_w: int):
+    """Continuation peel slab: carries the previous slab's peel state."""
+    init = (
+        best_in[:, :],
+        cs_in[:, :],
+        tuple(nums_in[a, :, :] for a in range(8)),
+        tuple(metas_in[m, :, :] for m in range(6)),
+    )
+    state = _peel_stream_loop(counts_ref, bins_ref, rows_hbm, scratch_ref,
+                              sem_ref, zbase_ref[:, :], last_ref[:, :], init,
+                              tiles_x=tiles_x, tile_h=tile_h, tile_w=tile_w)
+    _peel_write_state((best_ref, cs_ref, nums_ref, metas_ref), state)
+
+
+def _peel_slab_call(ccounts, bins3, rows64, z_base, last_id, state, *,
+                    tiles_x: int, tiles_y: int, tile_w: int, tile_h: int):
+    """One chunk-streaming peel pass. state=None -> fresh peel state."""
+    n_tiles, bcap = bins3.shape[:2]
+    hp = tiles_y * tile_h
+    wp = tiles_x * tile_w
+    base_specs = [
+        pl.BlockSpec((n_tiles, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, bcap, 1),
+                     lambda i, j, _tx=tiles_x: (i * _tx + j, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pl.ANY),  # fat rows stay in HBM
+        pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+    ]
+    common = dict(
+        out_shape=_peel_state_shapes(hp, wp),
+        grid=(tiles_y, tiles_x),
+        out_specs=_peel_state_specs(tile_h, tile_w),
+        scratch_shapes=[
+            pltpu.VMEM((2 * CHUNK, ROW_PAD), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=use_interpret(),
+    )
+    args = (ccounts.reshape(n_tiles, 1), bins3, rows64, z_base, last_id)
+    if state is None:
+        return pl.pallas_call(
+            functools.partial(_peel_chunks_fresh_kernel, tiles_x=tiles_x,
+                              tile_h=tile_h, tile_w=tile_w),
+            in_specs=base_specs,
+            **common,
+        )(*args)
+    return pl.pallas_call(
+        functools.partial(_peel_chunks_state_kernel, tiles_x=tiles_x,
+                          tile_h=tile_h, tile_w=tile_w),
+        in_specs=base_specs + list(_peel_state_specs(tile_h, tile_w)),
+        # carry the 16 peel-state planes in place
+        input_output_aliases={5: 0, 6: 1, 7: 2, 8: 3},
+        **common,
+    )(*args, *state)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tiles_x", "tiles_y", "tile_w", "tile_h", "slab_cap"),
+)
+def rasterize_peel_slabs(fat_rows, bins_full, counts, z_base, last_id, *,
+                         tiles_x: int, tiles_y: int, tile_w: int,
+                         tile_h: int, slab_cap: int = SLAB_CAP):
+    """Transparency peel over UNCAPPED dense chunk bins, in slabs.
+
+    bins_full/counts: bin_triangles_full output over chunk AABBs. The peel
+    is a min-reduction over eligible triangle ids, so the carried-state slab
+    pattern of rasterize_fused_slabs applies unchanged: each slab carries
+    (best, csum, nums, metas), slabs past every tile's count cost one
+    predicate, the perspective divide runs once after the last slab. With
+    this, NO path in the renderer has a triangle capacity — full parity
+    with the reference's cliff-free pipeline (vk_engine.cpp:1453-1465).
+
+    Returns (best id (ID_INF where no layer), attrs (8,Hp,Wp), meta (6,Hp,Wp)).
+    """
+    T = fat_rows.shape[0]
+    C = T // CHUNK
+    n_tiles, width = bins_full.shape
+    assert width % 8 == 0 and slab_cap % 8 == 0
+
+    rows64 = _prep_stream_rows(fat_rows)
+    kw = dict(tiles_x=tiles_x, tiles_y=tiles_y, tile_w=tile_w, tile_h=tile_h)
+
+    state = None
+    for s in range(0, width, slab_cap):
+        sbins = bins_full[:, s:s + slab_cap]
+        scounts = jnp.clip(counts - s, 0, sbins.shape[1])
+        bins3 = jnp.clip(sbins, 0, C - 1)[:, :, None]
+        if state is None:
+            state = _peel_slab_call(scounts, bins3, rows64, z_base, last_id,
+                                    None, **kw)
+        else:
+            state = jax.lax.cond(
+                jnp.any(scounts > 0),
+                lambda st, sc=scounts, b3=bins3: _peel_slab_call(
+                    sc, b3, rows64, z_base, last_id, st, **kw),
+                lambda st: st,
+                state)
+    best, cs, nums, metas = state
+    inv = jnp.where(cs != 0.0, 1.0 / cs, 0.0)
+    return best, nums * inv[None], metas

@@ -152,10 +152,17 @@ def render_frame_multichip(buffers: SceneBuffers, params: FrameParams, *,
             packed_l = _shift_rows_y(setup.packed, y0)
             aabb_l = _shift_aabb_y(setup.aabb, y0)
             caabb, cvalid = raster.chunk_aabbs(aabb_l, setup.valid)
-            cbins, ccounts, _ = raster.bin_triangles(
-                caabb, cvalid, tiles_x=tiles_x, tiles_y=tiles_y_band,
-                tile_w=tile_w, tile_h=tile_h,
-                bin_cap=bin_cap)
+            if fused:
+                # UNCAPPED dense bins walked in slabs — structurally
+                # overflow-free, same as the single-chip hot path
+                cbins, ccounts = raster.bin_triangles_full(
+                    caabb, cvalid, tiles_x=tiles_x, tiles_y=tiles_y_band,
+                    tile_w=tile_w, tile_h=tile_h)
+            else:
+                cbins, ccounts, _ = raster.bin_triangles(
+                    caabb, cvalid, tiles_x=tiles_x, tiles_y=tiles_y_band,
+                    tile_w=tile_w, tile_h=tile_h,
+                    bin_cap=bin_cap)
             return setup, packed_l, aabb_l, cbins, ccounts
 
         def refine(cbins, aabb_l):
@@ -170,8 +177,8 @@ def render_frame_multichip(buffers: SceneBuffers, params: FrameParams, *,
         rows_local = shade.build_shade_rows(packed_l, setup.attrs,
                                             buffers.mat_meta)
         if fused:
-            # chunk-streaming raster, same as the single-chip hot path
-            z, tid_local, attrs_l, meta_l = raster.rasterize_fused_chunks(
+            # chunk-streaming slab raster, same as the single-chip hot path
+            z, tid_local, attrs_l, meta_l = raster.rasterize_fused_slabs(
                 rows_local, cbins, ccounts, tiles_x=tiles_x,
                 tiles_y=tiles_y_band, tile_w=tile_w, tile_h=tile_h)
             tid = jnp.where(tid_local >= 0, tid_local + tri_idx * t_shard, -1)
@@ -223,25 +230,38 @@ def render_frame_multichip(buffers: SceneBuffers, params: FrameParams, *,
                 light = jnp.concatenate([
                     params.sun_dir[:3], params.sun_color[3:4],
                     params.ambient[:3], jnp.zeros(1, jnp.float32)])
-                delta, cnt = raster.rasterize_accum_chunks(
+                delta, cnt = raster.rasterize_accum_slabs(
                     rows_t, cbins_t, ccounts_t, z, light,
                     tiles_x=tiles_x, tiles_y=tiles_y_band,
                     tile_w=tile_w, tile_h=tile_h)
             else:
-                bins_t, counts_t = refine(cbins_t, aabb_tl)
+                if not fused:
+                    bins_t, counts_t = refine(cbins_t, aabb_tl)
+
                 # textured: peel the local shard until dry (unbounded)
                 def peel_body(carry):
                     delta, cnt, last, _ = carry
-                    layer = raster.rasterize_peel(
-                        packed_tl, bins_t, counts_t, z, last,
-                        tiles_x=tiles_x, tiles_y=tiles_y_band,
-                        tile_w=tile_w, tile_h=tile_h)
-                    found = layer < raster.ID_INF
-                    tl_layer = jnp.where(found, layer, 0)
-                    src = shade.shade_core(
-                        tl_layer, rows_t, buffers.atlas, params.ambient[:3],
-                        params.sun_dir[:3], params.sun_color[3],
-                        textured=transp_textured)
+                    if fused:
+                        layer, attrs_px, meta_px = raster.rasterize_peel_slabs(
+                            rows_t, cbins_t, ccounts_t, z, last,
+                            tiles_x=tiles_x, tiles_y=tiles_y_band,
+                            tile_w=tile_w, tile_h=tile_h)
+                        found = layer < raster.ID_INF
+                        src = shade.shade_fused(
+                            attrs_px, meta_px, buffers.atlas,
+                            params.ambient[:3], params.sun_dir[:3],
+                            params.sun_color[3], textured=transp_textured)
+                    else:
+                        layer = raster.rasterize_peel(
+                            packed_tl, bins_t, counts_t, z, last,
+                            tiles_x=tiles_x, tiles_y=tiles_y_band,
+                            tile_w=tile_w, tile_h=tile_h)
+                        found = layer < raster.ID_INF
+                        tl_layer = jnp.where(found, layer, 0)
+                        src = shade.shade_core(
+                            tl_layer, rows_t, buffers.atlas,
+                            params.ambient[:3], params.sun_dir[:3],
+                            params.sun_color[3], textured=transp_textured)
                     src = jnp.where(found[None], src, 0.0)
                     delta = delta + src
                     cnt = cnt + found.astype(jnp.int32)

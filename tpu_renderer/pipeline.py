@@ -157,17 +157,21 @@ def render_frame(buffers: SceneBuffers, params: FrameParams, *,
             width, height,
         )
         caabb, cvalid = raster.chunk_aabbs(setup.aabb, setup.valid)
-        cbins, ccounts, overflow_c = raster.bin_triangles(
-            caabb, cvalid, tiles_x=tiles_x, tiles_y=tiles_y,
-            tile_w=tile_w, tile_h=tile_h, bin_cap=bin_cap)
         rows = shade.build_shade_rows(setup.packed, setup.attrs, buffers.mat_meta)
         if fused:
-            # fused chunk-streaming raster: attributes interpolate inside the
-            # kernel (no per-pixel row gather) and fat rows DMA from HBM per
-            # binned chunk (no refine pass, no per-tile triangle capacity)
+            # fused chunk-streaming raster over UNCAPPED dense bins, walked
+            # in slabs: attributes interpolate inside the kernel (no
+            # per-pixel row gather), fat rows DMA from HBM per binned chunk
+            # (no refine pass), and nothing can overflow or drop — parity
+            # with the reference's capacity-cliff-free hardware raster
+            # (vkCmdDrawIndexed, vk_engine.cpp:1453).
+            overflow_c = jnp.int32(0)
             overflow_t = jnp.int32(0)
-            z, tid, attrs_px, meta_px = raster.rasterize_fused_chunks(
-                rows, cbins, ccounts,
+            cbins_full, ccounts = raster.bin_triangles_full(
+                caabb, cvalid, tiles_x=tiles_x, tiles_y=tiles_y,
+                tile_w=tile_w, tile_h=tile_h)
+            z, tid, attrs_px, meta_px = raster.rasterize_fused_slabs(
+                rows, cbins_full, ccounts,
                 tiles_x=tiles_x, tiles_y=tiles_y, tile_w=tile_w, tile_h=tile_h)
             valid = tid >= 0
             shaded = shade.shade_fused(
@@ -177,6 +181,9 @@ def render_frame(buffers: SceneBuffers, params: FrameParams, *,
             alpha = jnp.where(valid, jnp.float32(1.0), fb[3])
             fb = q(jnp.concatenate([rgb, alpha[None]], axis=0))
         else:
+            cbins, ccounts, overflow_c = raster.bin_triangles(
+                caabb, cvalid, tiles_x=tiles_x, tiles_y=tiles_y,
+                tile_w=tile_w, tile_h=tile_h, bin_cap=bin_cap)
             bins, counts, overflow_t = raster.refine_bins(
                 cbins, setup.aabb, tiles_x=tiles_x, tiles_y=tiles_y,
                 tile_w=tile_w, tile_h=tile_h, tri_cap=tri_cap)
@@ -201,10 +208,6 @@ def render_frame(buffers: SceneBuffers, params: FrameParams, *,
             width, height,
         )
         caabb_t, cvalid_t = raster.chunk_aabbs(setup_t.aabb, setup_t.valid)
-        tbin_cap = min(bin_cap, max(tt // raster.CHUNK, 1))
-        cbins_t, ccounts_t, overflow_tc = raster.bin_triangles(
-            caabb_t, cvalid_t, tiles_x=tiles_x, tiles_y=tiles_y,
-            tile_w=tile_w, tile_h=tile_h, bin_cap=tbin_cap)
         rows_t = shade.build_shade_rows(setup_t.packed, setup_t.attrs,
                                         buffers.mat_meta)
 
@@ -212,14 +215,17 @@ def render_frame(buffers: SceneBuffers, params: FrameParams, *,
             # mesh.frag writes alpha = 1.0 always (shaders/mesh.frag:18), so
             # the reference's additive blend reduces to an order-independent
             # SUM over all transparent fragments — one raster pass shades and
-            # accumulates EVERY layer (no peel cap, nothing ever dropped;
-            # chunk-streaming, so no expand/refine either).
-            overflow_t = overflow_tc
+            # accumulates EVERY layer (no peel cap; uncapped slab bins, so
+            # nothing can overflow either; no expand/refine).
+            overflow_t = jnp.int32(0)
+            cbins_tf, ccounts_tf = raster.bin_triangles_full(
+                caabb_t, cvalid_t, tiles_x=tiles_x, tiles_y=tiles_y,
+                tile_w=tile_w, tile_h=tile_h)
             light = jnp.concatenate([
                 params.sun_dir[:3], params.sun_color[3:4],
                 params.ambient[:3], jnp.zeros(1, jnp.float32)])
-            acc, cnt = raster.rasterize_accum_chunks(
-                rows_t, cbins_t, ccounts_t, z, light,
+            acc, cnt = raster.rasterize_accum_slabs(
+                rows_t, cbins_tf, ccounts_tf, z, light,
                 tiles_x=tiles_x, tiles_y=tiles_y,
                 tile_w=tile_w, tile_h=tile_h)
             covered = cnt > 0
@@ -235,21 +241,35 @@ def render_frame(buffers: SceneBuffers, params: FrameParams, *,
             # unbounded analog of the reference blending every fragment
             # (vk_engine.cpp:1459-1465). Each peel needs its own deferred
             # texture taps, which is why this path can't single-pass.
-            if tt <= 4096:
-                # small transparent sets: skip the refine pass; the peel
-                # loop evaluates the few extra chunk members instead
-                bins_t, counts_t = raster.expand_bins(cbins_t, ccounts_t)
-                overflow_tt = jnp.int32(0)
+            if fused:
+                # uncapped slab bins: the peel loop walks every overlap, so
+                # this path can't overflow either (nothing in the renderer
+                # has a triangle capacity any more)
+                overflow_t = jnp.int32(0)
+                cbins_tf, ccounts_tf = raster.bin_triangles_full(
+                    caabb_t, cvalid_t, tiles_x=tiles_x, tiles_y=tiles_y,
+                    tile_w=tile_w, tile_h=tile_h)
             else:
-                bins_t, counts_t, overflow_tt = raster.refine_bins(
-                    cbins_t, setup_t.aabb, tiles_x=tiles_x, tiles_y=tiles_y,
-                    tile_w=tile_w, tile_h=tile_h, tri_cap=tri_cap)
-            overflow_t = overflow_tc + overflow_tt
+                tbin_cap = min(bin_cap, max(tt // raster.CHUNK, 1))
+                cbins_t, ccounts_t, overflow_tc = raster.bin_triangles(
+                    caabb_t, cvalid_t, tiles_x=tiles_x, tiles_y=tiles_y,
+                    tile_w=tile_w, tile_h=tile_h, bin_cap=tbin_cap)
+                if tt <= 4096:
+                    # small transparent sets: skip the refine pass; the peel
+                    # loop evaluates the few extra chunk members instead
+                    bins_t, counts_t = raster.expand_bins(cbins_t, ccounts_t)
+                    overflow_tt = jnp.int32(0)
+                else:
+                    bins_t, counts_t, overflow_tt = raster.refine_bins(
+                        cbins_t, setup_t.aabb, tiles_x=tiles_x,
+                        tiles_y=tiles_y, tile_w=tile_w, tile_h=tile_h,
+                        tri_cap=tri_cap)
+                overflow_t = overflow_tc + overflow_tt
 
             def one_peel(fb, last):
                 if fused:
-                    layer, attrs_px, meta_px = raster.rasterize_peel_fused(
-                        rows_t, bins_t, counts_t, z, last,
+                    layer, attrs_px, meta_px = raster.rasterize_peel_slabs(
+                        rows_t, cbins_tf, ccounts_tf, z, last,
                         tiles_x=tiles_x, tiles_y=tiles_y,
                         tile_w=tile_w, tile_h=tile_h)
                     found = layer < raster.ID_INF
