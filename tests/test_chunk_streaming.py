@@ -141,3 +141,4 @@ def test_slab_peel_matches_gathered_reference():
         f1 = l1 < raster.ID_INF
         last1 = jnp.where(f1, l1, raster.ID_INF)
         last2 = jnp.where(l2 < raster.ID_INF, l2, raster.ID_INF)
+

@@ -44,6 +44,25 @@ DEPTH_CLEAR = 0.0  # vk_initializers.cpp:144 (reversed-Z)
 NO_TRI = -1
 CHUNK = 8  # triangles per binning chunk (granularity of the coarse bins; measured sweet spot vs 4 and 16)
 
+_FLT_MIN = 1.17549435e-38  # smallest NORMAL f32 (Python float: Pallas
+#                            kernels may not capture array constants)
+
+
+def _edge_bound(a, b):
+    """Scalar coverage bound for one edge plane (top-left fill rule).
+
+    cov = (c > 0) | ((c == 0) & top_left)  collapses to ONE vector compare
+    c >= bound with bound = 0 for top-left edges and FLT_MIN otherwise:
+    c >= FLT_MIN <=> c > 0 exactly, because TPU float math flushes
+    subnormals to zero, so no edge value lands strictly inside
+    (0, FLT_MIN). The streaming kernels use this; the gathered oracle
+    kernels keep the explicit 3-op form, and the equivalence tests pin the
+    two bit-for-bit against each other.
+    """
+    tl = (a > 0.0) | ((a == 0.0) & (b > 0.0))
+    return jnp.where(tl, jnp.float32(0.0), jnp.float32(_FLT_MIN))
+
+
 _EMPTY_AABB = (-1.0, -1.0, -2.0, -2.0)
 _UNROLL = 4  # raster inner-loop unroll (hides scalar-load latency)
 
@@ -731,6 +750,10 @@ def _chunks_stream_loop(counts_ref, bins_ref, rows_hbm, scratch_ref, sem_ref,
 
         copy(k, slot).wait()
         base = slot * CHUNK
+        # global triangle ids are sequential within the chunk: compute
+        # cid*CHUNK + t instead of loading+casting row column 47 (scalar
+        # loads are not CSE'd — every column is loaded exactly once below)
+        tid_base = bins_ref[0, k, 0] * CHUNK
 
         def eval_chunk(carry):
             z, tid, csum, nums, metas = carry
@@ -738,22 +761,24 @@ def _chunks_stream_loop(counts_ref, bins_ref, rows_hbm, scratch_ref, sem_ref,
             covs = []
             for t in range(CHUNK):
                 r = lambda col, _t=t: scratch_ref[base + _t, col]  # noqa: E731
-                c0v = r(0) * X + r(1) * Y + r(2)
-                c1v = r(3) * X + r(4) * Y + r(5)
-                c2v = r(6) * X + r(7) * Y + r(8)
-                tl0 = (r(0) > 0.0) | ((r(0) == 0.0) & (r(1) > 0.0))
-                tl1 = (r(3) > 0.0) | ((r(3) == 0.0) & (r(4) > 0.0))
-                tl2 = (r(6) > 0.0) | ((r(6) == 0.0) & (r(7) > 0.0))
-                cov = (((c0v > 0.0) | ((c0v == 0.0) & tl0))
-                       & ((c1v > 0.0) | ((c1v == 0.0) & tl1))
-                       & ((c2v > 0.0) | ((c2v == 0.0) & tl2)))
+                e0a, e0b = r(0), r(1)
+                e1a, e1b = r(3), r(4)
+                e2a, e2b = r(6), r(7)
+                c0v = e0a * X + e0b * Y + r(2)
+                c1v = e1a * X + e1b * Y + r(5)
+                c2v = e2a * X + e2b * Y + r(8)
                 zv = r(9) * X + r(10) * Y + r(11)
-                cov &= (zv >= 0.0) & (zv <= 1.0)
+                cov = ((c0v >= _edge_bound(e0a, e0b))
+                       & (c1v >= _edge_bound(e1a, e1b))
+                       & (c2v >= _edge_bound(e2a, e2b))
+                       & (zv <= 1.0))
                 # padding rows inside a partially-valid chunk have zero edge
-                # planes (never covered), so no (k < n)-style mask per tri
+                # planes (never covered), so no (k < n)-style mask per tri;
+                # zv >= 0 is subsumed by zv >= z (z starts at DEPTH_CLEAR=0
+                # and only ever takes values that passed that test)
                 take = cov & (zv >= z)
                 z = jnp.where(take, zv, z)
-                tid = jnp.where(take, r(47).astype(jnp.int32), tid)
+                tid = jnp.where(take, tid_base + t, tid)
                 takes.append(take)
                 covs.append((c0v, c1v, c2v))
 
@@ -1192,17 +1217,18 @@ def _accum_chunks_kernel(counts_ref, light_ref, bins_ref, rows_hbm,
         covs = []
         for t in range(CHUNK):
             r = lambda col, _t=t: scratch_ref[base + _t, col]  # noqa: E731
-            c0v = r(0) * X + r(1) * Y + r(2)
-            c1v = r(3) * X + r(4) * Y + r(5)
-            c2v = r(6) * X + r(7) * Y + r(8)
-            tl0 = (r(0) > 0.0) | ((r(0) == 0.0) & (r(1) > 0.0))
-            tl1 = (r(3) > 0.0) | ((r(3) == 0.0) & (r(4) > 0.0))
-            tl2 = (r(6) > 0.0) | ((r(6) == 0.0) & (r(7) > 0.0))
-            cov = (((c0v > 0.0) | ((c0v == 0.0) & tl0))
-                   & ((c1v > 0.0) | ((c1v == 0.0) & tl1))
-                   & ((c2v > 0.0) | ((c2v == 0.0) & tl2)))
+            e0a, e0b = r(0), r(1)
+            e1a, e1b = r(3), r(4)
+            e2a, e2b = r(6), r(7)
+            c0v = e0a * X + e0b * Y + r(2)
+            c1v = e1a * X + e1b * Y + r(5)
+            c2v = e2a * X + e2b * Y + r(8)
             zv = r(9) * X + r(10) * Y + r(11)
-            cov &= (zv >= 0.0) & (zv <= 1.0)
+            cov = ((c0v >= _edge_bound(e0a, e0b))
+                   & (c1v >= _edge_bound(e1a, e1b))
+                   & (c2v >= _edge_bound(e2a, e2b))
+                   & (zv <= 1.0))
+            # zv >= 0 is subsumed by zv >= zbase (opaque depth, >= 0)
             takes.append(cov & (zv >= zbase))
             covs.append((c0v, c1v, c2v))
 
@@ -1524,24 +1550,26 @@ def _peel_stream_loop(counts_ref, bins_ref, rows_hbm, scratch_ref, sem_ref,
         copy(k, slot).wait()
         base = slot * CHUNK
 
+        tid_base = bins_ref[0, k, 0] * CHUNK
         takes = []
         covs = []
         for t in range(CHUNK):
             r = lambda col, _t=t: scratch_ref[base + _t, col]  # noqa: E731
-            idx = r(47).astype(jnp.int32)
-            c0v = r(0) * X + r(1) * Y + r(2)
-            c1v = r(3) * X + r(4) * Y + r(5)
-            c2v = r(6) * X + r(7) * Y + r(8)
-            tl0 = (r(0) > 0.0) | ((r(0) == 0.0) & (r(1) > 0.0))
-            tl1 = (r(3) > 0.0) | ((r(3) == 0.0) & (r(4) > 0.0))
-            tl2 = (r(6) > 0.0) | ((r(6) == 0.0) & (r(7) > 0.0))
-            cov = (((c0v > 0.0) | ((c0v == 0.0) & tl0))
-                   & ((c1v > 0.0) | ((c1v == 0.0) & tl1))
-                   & ((c2v > 0.0) | ((c2v == 0.0) & tl2)))
+            idx = tid_base + t
+            e0a, e0b = r(0), r(1)
+            e1a, e1b = r(3), r(4)
+            e2a, e2b = r(6), r(7)
+            c0v = e0a * X + e0b * Y + r(2)
+            c1v = e1a * X + e1b * Y + r(5)
+            c2v = e2a * X + e2b * Y + r(8)
             zv = r(9) * X + r(10) * Y + r(11)
-            cov &= (zv >= 0.0) & (zv <= 1.0)
+            cov = ((c0v >= _edge_bound(e0a, e0b))
+                   & (c1v >= _edge_bound(e1a, e1b))
+                   & (c2v >= _edge_bound(e2a, e2b))
+                   & (zv <= 1.0))
             # padding rows inside a partial chunk have zero edge planes
-            # (never covered) — no per-triangle count mask needed
+            # (never covered) — no per-triangle count mask needed;
+            # zv >= 0 is subsumed by zv >= zbase (opaque depth, >= 0)
             take = cov & (zv >= zbase) & (idx > last) & (idx < best)
             best = jnp.where(take, idx, best)
             takes.append(take)
@@ -1728,3 +1756,4 @@ def rasterize_peel_slabs(fat_rows, bins_full, counts, z_base, last_id, *,
     best, cs, nums, metas = state
     inv = jnp.where(cs != 0.0, 1.0 / cs, 0.0)
     return best, nums * inv[None], metas
+
