@@ -183,7 +183,21 @@ def cmd_view(args) -> int:
     return 0
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compile cache: repeat CLI runs at the same
+    (scene shapes, extent) skip the 1-6 min jit compiles."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/tpu_renderer_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:  # older jax without the knobs: compile fresh
+        pass
+
+
 def main(argv=None) -> int:
+    _enable_compile_cache()
     ap = argparse.ArgumentParser(prog="tpu_renderer")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
