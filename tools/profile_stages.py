@@ -101,9 +101,9 @@ def main():
                 return checksum(setup.packed) + checksum(setup.attrs)
 
             caabb, cvalid = raster.chunk_aabbs(setup.aabb, setup.valid)
-            cbins, ccounts, _ = raster.bin_triangles(
+            cbins, ccounts = raster.bin_triangles_full(
                 caabb, cvalid, tiles_x=tiles_x, tiles_y=tiles_y,
-                tile_w=tile_w, tile_h=tile_h, bin_cap=bin_cap)
+                tile_w=tile_w, tile_h=tile_h)
             if upto == 2:
                 return checksum(cbins.astype(jnp.float32))
 
@@ -112,7 +112,7 @@ def main():
 
             rows = shade.build_shade_rows(setup.packed, setup.attrs,
                                           buffers.mat_meta)
-            z, tid, attrs_px, meta_px = raster.rasterize_fused_chunks(
+            z, tid, attrs_px, meta_px = raster.rasterize_fused_slabs(
                 rows, cbins, ccounts,
                 tiles_x=tiles_x, tiles_y=tiles_y, tile_w=tile_w, tile_h=tile_h)
             if upto == 4:
@@ -137,11 +137,9 @@ def main():
                 buffers.draw_mat, buffers.mat_color_factors, viewproj,
                 width, height)
             caabb_t, cvalid_t = raster.chunk_aabbs(setup_t.aabb, setup_t.valid)
-            tt = buffers.transp_tri_vidx.shape[0]
-            tbin_cap = min(bin_cap, max(tt // raster.CHUNK, 1))
-            cbins_t, ccounts_t, _ = raster.bin_triangles(
+            cbins_t, ccounts_t = raster.bin_triangles_full(
                 caabb_t, cvalid_t, tiles_x=tiles_x, tiles_y=tiles_y,
-                tile_w=tile_w, tile_h=tile_h, bin_cap=tbin_cap)
+                tile_w=tile_w, tile_h=tile_h)
             if upto == 6:
                 return checksum(cbins_t.astype(jnp.float32))
 
@@ -150,7 +148,7 @@ def main():
             light = jnp.concatenate([
                 params.sun_dir[:3], params.sun_color[3:4],
                 params.ambient[:3], jnp.zeros(1, jnp.float32)])
-            acc, cnt = raster.rasterize_accum_chunks(
+            acc, cnt = raster.rasterize_accum_slabs(
                 rows_t, cbins_t, ccounts_t, z, light,
                 tiles_x=tiles_x, tiles_y=tiles_y,
                 tile_w=tile_w, tile_h=tile_h)

@@ -708,6 +708,83 @@ def rasterize_fused(fat_rows, bins, counts, *, tiles_x: int, tiles_y: int,
     return z, tid, attrs, meta
 
 
+BIN_LANES = 8  # lanes per bins-block sublane row (see _pack_bins_cols)
+
+
+def _pack_bins_cols(bins):
+    """(n_tiles, W) bin lists -> (n_tiles, G, BIN_LANES), COLUMN-major.
+
+    Entry e of a tile's list lives at [e % G... precisely: lane column l
+    holds entries [l*G, (l+1)*G), so element [g, l] is entry l*G + g. Two
+    reasons for this shape:
+
+    * a (1, W, 1) VMEM/SMEM block pads its trailing dim 1 -> 128 lanes
+      (measured: a 5608-entry block became a 5.7 MB window — 2 ms/frame
+      of pure block fill); (G, BIN_LANES) keeps the padding 16x smaller.
+    * Mosaic scalar reads need a STATIC lane index ("cannot statically
+      prove index is a multiple of 128"), so the kernel walks one lane
+      COLUMN at a time (static l, dynamic sublane g) — column-major makes
+      each column a contiguous span of the sorted entry order.
+    """
+    n_tiles, W = bins.shape
+    G = cdiv(cdiv(W, BIN_LANES), 8) * 8
+    pad = G * BIN_LANES - W
+    if pad:
+        bins = jnp.pad(bins, ((0, 0), (0, pad)))
+    return bins.reshape(n_tiles, BIN_LANES, G).transpose(0, 2, 1)
+
+
+def _walk_bins_cols(counts_ref, bins_ref, rows_hbm, scratch_ref, sem_ref,
+                    tile, eval_entry, state):
+    """Walk a tile's column-major chunk bins, double-buffering the per-chunk
+    fat-row DMA (HBM -> VMEM scratch). eval_entry(cid, base, carry) -> carry
+    rasterizes one chunk staged at scratch rows [base, base+CHUNK).
+
+    The walk order is the sorted entry order: lane column l covers entries
+    [l*G, l*G + cnt_l); the running entry index keeps the two scratch slots
+    alternating correctly across column boundaries, and the last entry of a
+    column prefetches the next column's first chunk.
+    """
+    n = counts_ref[tile, 0]
+    G = bins_ref.shape[1]
+
+    def copy(g, l, slot):
+        return pltpu.make_async_copy(
+            rows_hbm.at[bins_ref[0, g, l]],
+            scratch_ref.at[pl.ds(slot * CHUNK, CHUNK)],
+            sem_ref.at[slot])
+
+    cnts = [jnp.clip(n - l * G, 0, G) for l in range(BIN_LANES)]
+
+    @pl.when(n > 0)
+    def _():
+        copy(0, 0, 0).start()
+
+    base_e = jnp.int32(0)  # entries processed before this column
+    for l in range(BIN_LANES):
+        cnt = cnts[l]
+        nxt = cnts[l + 1] if l + 1 < BIN_LANES else None
+
+        def body(g, carry, l=l, cnt=cnt, nxt=nxt, base_e=base_e):
+            slot = jax.lax.rem(base_e + g, 2)
+
+            @pl.when(g + 1 < cnt)
+            def _():
+                copy(g + 1, l, 1 - slot).start()
+
+            if nxt is not None:
+                @pl.when((g + 1 == cnt) & (nxt > 0))
+                def _():
+                    copy(0, l + 1, 1 - slot).start()
+
+            copy(g, l, slot).wait()
+            return eval_entry(bins_ref[0, g, l], slot * CHUNK, carry)
+
+        state = jax.lax.fori_loop(0, cnt, body, state)
+        base_e = base_e + cnt
+    return state
+
+
 def _chunks_stream_loop(counts_ref, bins_ref, rows_hbm, scratch_ref, sem_ref,
                         init_state, *, tiles_x: int, tile_h: int,
                         tile_w: int):
@@ -726,34 +803,13 @@ def _chunks_stream_loop(counts_ref, bins_ref, rows_hbm, scratch_ref, sem_ref,
     i = pl.program_id(0)
     j = pl.program_id(1)
     tile = i * tiles_x + j
-    n = counts_ref[tile, 0]
     X, Y = _tile_coords(i, j, tile_h, tile_w)
 
-    def copy(k, slot):
-        cid = bins_ref[0, k, 0]
-        return pltpu.make_async_copy(
-            rows_hbm.at[cid],
-            scratch_ref.at[pl.ds(slot * CHUNK, CHUNK)],
-            sem_ref.at[slot])
-
-    @pl.when(n > 0)
-    def _():
-        copy(0, 0).start()
-
-    def chunk_body(k, carry):
-        z, tid, csum, nums, metas = carry
-        slot = jax.lax.rem(k, 2)
-
-        @pl.when(k + 1 < n)
-        def _():
-            copy(k + 1, 1 - slot).start()
-
-        copy(k, slot).wait()
-        base = slot * CHUNK
+    def eval_entry(cid, base, carry):
         # global triangle ids are sequential within the chunk: compute
         # cid*CHUNK + t instead of loading+casting row column 47 (scalar
         # loads are not CSE'd — every column is loaded exactly once below)
-        tid_base = bins_ref[0, k, 0] * CHUNK
+        tid_base = cid * CHUNK
 
         def eval_chunk(carry):
             z, tid, csum, nums, metas = carry
@@ -816,7 +872,8 @@ def _chunks_stream_loop(counts_ref, bins_ref, rows_hbm, scratch_ref, sem_ref,
         # savings under this draw order. Eval unconditionally.)
         return eval_chunk(carry)
 
-    return jax.lax.fori_loop(0, n, chunk_body, init_state)
+    return _walk_bins_cols(counts_ref, bins_ref, rows_hbm, scratch_ref,
+                           sem_ref, tile, eval_entry, init_state)
 
 
 def _write_state(refs, state):
@@ -911,7 +968,8 @@ def _stream_slab_call(ccounts, bins3, rows64, state, *, tiles_x: int,
     wp = tiles_x * tile_w
     base_specs = [
         pl.BlockSpec((n_tiles, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, bcap, 1),
+        # column-major (G, BIN_LANES) packing — see _pack_bins_cols
+        pl.BlockSpec((1, bcap, BIN_LANES),
                      lambda i, j, _tx=tiles_x: (i * _tx + j, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pl.ANY),  # fat rows stay in HBM
@@ -971,13 +1029,14 @@ def rasterize_fused_chunks(fat_rows, cbins, ccounts, *, tiles_x: int,
         bcap = bcap_pad
 
     rows64 = _prep_stream_rows(fat_rows)
-    bins3 = jnp.clip(cbins, 0, C - 1)[:, :, None]
+    bins3 = _pack_bins_cols(jnp.clip(cbins, 0, C - 1))
     state = _stream_slab_call(ccounts, bins3, rows64, None, tiles_x=tiles_x,
                               tiles_y=tiles_y, tile_w=tile_w, tile_h=tile_h)
     return _state_to_outputs(state)
 
 
-SLAB_CAP = 4096  # chunk-bin slab width (32k triangles per tile per slab)
+SLAB_CAP = 16384  # chunk-bin slab width (128k tris/tile/slab; the
+#                   packed (G, BIN_LANES) bins block stays ~1 MB VMEM)
 
 
 @functools.partial(
@@ -1003,15 +1062,23 @@ def rasterize_fused_slabs(fat_rows, bins_full, counts, *, tiles_x: int,
     C = T // CHUNK
     n_tiles, width = bins_full.shape
     assert width % 8 == 0 and slab_cap % 8 == 0
+    if slab_cap == SLAB_CAP and width <= 2 * SLAB_CAP:
+        # single full-width pass: no slab slicing, no guarded second call
+        # (measured ~2 ms/frame of slicing + cond overhead on the demo
+        # scene); the VMEM bins block stays comfortably small. Only when
+        # the caller didn't override slab_cap (tests force tiny slabs to
+        # exercise the carried-state path).
+        slab_cap = width
 
     rows64 = _prep_stream_rows(fat_rows)
     kw = dict(tiles_x=tiles_x, tiles_y=tiles_y, tile_w=tile_w, tile_h=tile_h)
 
     state = None
     for s in range(0, width, slab_cap):
-        sbins = bins_full[:, s:s + slab_cap]
-        scounts = jnp.clip(counts - s, 0, sbins.shape[1])
-        bins3 = jnp.clip(sbins, 0, C - 1)[:, :, None]
+        sbins = bins_full if slab_cap == width else bins_full[:, s:s + slab_cap]
+        scounts = counts if slab_cap == width \
+            else jnp.clip(counts - s, 0, sbins.shape[1])
+        bins3 = _pack_bins_cols(jnp.clip(sbins, 0, C - 1))
         if state is None:
             state = _stream_slab_call(scounts, bins3, rows64, None, **kw)
         else:
@@ -1191,27 +1258,8 @@ def _accum_chunks_kernel(counts_ref, light_ref, bins_ref, rows_hbm,
     X, Y = _tile_coords(i, j, tile_h, tile_w)
     zbase = zbase_ref[:, :]
 
-    def copy(k, slot):
-        cid = bins_ref[0, k, 0]
-        return pltpu.make_async_copy(
-            rows_hbm.at[cid],
-            scratch_ref.at[pl.ds(slot * CHUNK, CHUNK)],
-            sem_ref.at[slot])
-
-    @pl.when(n > 0)
-    def _():
-        copy(0, 0).start()
-
-    def chunk_body(k, carry):
+    def eval_entry(cid, base, carry):
         ar, ag, ab, cnt = carry
-        slot = jax.lax.rem(k, 2)
-
-        @pl.when(k + 1 < n)
-        def _():
-            copy(k + 1, 1 - slot).start()
-
-        copy(k, slot).wait()
-        base = slot * CHUNK
 
         takes = []
         covs = []
@@ -1267,8 +1315,9 @@ def _accum_chunks_kernel(counts_ref, light_ref, bins_ref, rows_hbm,
 
     zero = jnp.zeros((tile_h, tile_w), jnp.float32)
     cnt0 = jnp.zeros((tile_h, tile_w), jnp.int32)
-    ar1, ag1, ab1, cnt1 = jax.lax.fori_loop(
-        0, n, chunk_body, (zero, zero, zero, cnt0))
+    ar1, ag1, ab1, cnt1 = _walk_bins_cols(
+        counts_ref, bins_ref, rows_hbm, scratch_ref, sem_ref, tile,
+        eval_entry, (zero, zero, zero, cnt0))
     acc_ref[0, :, :] = ar1
     acc_ref[1, :, :] = ag1
     acc_ref[2, :, :] = ab1
@@ -1298,7 +1347,7 @@ def rasterize_accum_chunks(fat_rows, cbins, ccounts, z_base, light, *,
 
     rows64 = jnp.pad(fat_rows, ((0, 0), (0, ROW_PAD - fat_rows.shape[1])))
     rows64 = rows64.reshape(C, CHUNK, ROW_PAD)
-    bins3 = jnp.clip(cbins, 0, C - 1)[:, :, None]
+    bins3 = _pack_bins_cols(jnp.clip(cbins, 0, C - 1))
     return _accum_slab_call(ccounts, light, bins3, rows64, z_base,
                             tiles_x=tiles_x, tiles_y=tiles_y,
                             tile_w=tile_w, tile_h=tile_h)
@@ -1321,7 +1370,8 @@ def _accum_slab_call(ccounts, light, bins3, rows64, z_base, *, tiles_x: int,
         in_specs=[
             pl.BlockSpec((n_tiles, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 8), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, bcap, 1),
+            # column-major (G, BIN_LANES) packing — see _pack_bins_cols
+            pl.BlockSpec((1, bcap, BIN_LANES),
                          lambda i, j, _tx=tiles_x: (i * _tx + j, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # fat rows stay in HBM
@@ -1359,15 +1409,19 @@ def rasterize_accum_slabs(fat_rows, bins_full, counts, z_base, light, *,
     n_tiles, width = bins_full.shape
     assert width % 8 == 0 and slab_cap % 8 == 0
 
+    if slab_cap == SLAB_CAP and width <= 2 * SLAB_CAP:
+        slab_cap = width  # single pass (see rasterize_fused_slabs)
+
     rows64 = jnp.pad(fat_rows, ((0, 0), (0, ROW_PAD - fat_rows.shape[1])))
     rows64 = rows64.reshape(C, CHUNK, ROW_PAD)
     kw = dict(tiles_x=tiles_x, tiles_y=tiles_y, tile_w=tile_w, tile_h=tile_h)
 
     acc = cnt = None
     for s in range(0, width, slab_cap):
-        sbins = bins_full[:, s:s + slab_cap]
-        scounts = jnp.clip(counts - s, 0, sbins.shape[1])
-        bins3 = jnp.clip(sbins, 0, C - 1)[:, :, None]
+        sbins = bins_full if slab_cap == width else bins_full[:, s:s + slab_cap]
+        scounts = counts if slab_cap == width \
+            else jnp.clip(counts - s, 0, sbins.shape[1])
+        bins3 = _pack_bins_cols(jnp.clip(sbins, 0, C - 1))
         if acc is None:
             acc, cnt = _accum_slab_call(scounts, light, bins3, rows64,
                                         z_base, **kw)
@@ -1525,32 +1579,12 @@ def _peel_stream_loop(counts_ref, bins_ref, rows_hbm, scratch_ref, sem_ref,
     i = pl.program_id(0)
     j = pl.program_id(1)
     tile = i * tiles_x + j
-    n = counts_ref[tile, 0]
     X, Y = _tile_coords(i, j, tile_h, tile_w)
 
-    def copy(k, slot):
-        cid = bins_ref[0, k, 0]
-        return pltpu.make_async_copy(
-            rows_hbm.at[cid],
-            scratch_ref.at[pl.ds(slot * CHUNK, CHUNK)],
-            sem_ref.at[slot])
-
-    @pl.when(n > 0)
-    def _():
-        copy(0, 0).start()
-
-    def chunk_body(k, carry):
+    def eval_entry(cid, base, carry):
         best, csum, nums, metas = carry
-        slot = jax.lax.rem(k, 2)
 
-        @pl.when(k + 1 < n)
-        def _():
-            copy(k + 1, 1 - slot).start()
-
-        copy(k, slot).wait()
-        base = slot * CHUNK
-
-        tid_base = bins_ref[0, k, 0] * CHUNK
+        tid_base = cid * CHUNK
         takes = []
         covs = []
         for t in range(CHUNK):
@@ -1601,7 +1635,8 @@ def _peel_stream_loop(counts_ref, bins_ref, rows_hbm, scratch_ref, sem_ref,
             (csum, nums, metas))
         return best, csum, nums, metas
 
-    return jax.lax.fori_loop(0, n, chunk_body, init_state)
+    return _walk_bins_cols(counts_ref, bins_ref, rows_hbm, scratch_ref,
+                           sem_ref, tile, eval_entry, init_state)
 
 
 def _peel_state_shapes(hp: int, wp: int):
@@ -1676,7 +1711,8 @@ def _peel_slab_call(ccounts, bins3, rows64, z_base, last_id, state, *,
     wp = tiles_x * tile_w
     base_specs = [
         pl.BlockSpec((n_tiles, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, bcap, 1),
+        # column-major (G, BIN_LANES) packing — see _pack_bins_cols
+        pl.BlockSpec((1, bcap, BIN_LANES),
                      lambda i, j, _tx=tiles_x: (i * _tx + j, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pl.ANY),  # fat rows stay in HBM
@@ -1735,14 +1771,18 @@ def rasterize_peel_slabs(fat_rows, bins_full, counts, z_base, last_id, *,
     n_tiles, width = bins_full.shape
     assert width % 8 == 0 and slab_cap % 8 == 0
 
+    if slab_cap == SLAB_CAP and width <= 2 * SLAB_CAP:
+        slab_cap = width  # single pass (see rasterize_fused_slabs)
+
     rows64 = _prep_stream_rows(fat_rows)
     kw = dict(tiles_x=tiles_x, tiles_y=tiles_y, tile_w=tile_w, tile_h=tile_h)
 
     state = None
     for s in range(0, width, slab_cap):
-        sbins = bins_full[:, s:s + slab_cap]
-        scounts = jnp.clip(counts - s, 0, sbins.shape[1])
-        bins3 = jnp.clip(sbins, 0, C - 1)[:, :, None]
+        sbins = bins_full if slab_cap == width else bins_full[:, s:s + slab_cap]
+        scounts = counts if slab_cap == width \
+            else jnp.clip(counts - s, 0, sbins.shape[1])
+        bins3 = _pack_bins_cols(jnp.clip(sbins, 0, C - 1))
         if state is None:
             state = _peel_slab_call(scounts, bins3, rows64, z_base, last_id,
                                     None, **kw)
