@@ -97,15 +97,17 @@ def _sample_level(atlas, base_x, base_y, w0, h0, level, u, v, linear,
                   active=None):
     """One mip tap = ONE quad-row gather + planar filtering -> (r, g, b).
 
-    Analytic addressing: level L sits at x = base_x + L*w0 with size
-    (w0>>L, h0>>L). `linear` selects bilinear vs nearest per pixel.
+    Analytic addressing (packed pyramid, resources.build_atlas): with
+    W2 = 2*max(w0, h0), level L sits at x = base_x + W2 - (W2 >> L) with
+    size (w0>>L, h0>>L). `linear` selects bilinear vs nearest per pixel.
     `active` (optional bool mask): pixels whose result is unused get gather
     index 0 — the per-index issue cost is unavoidable, but masking keeps the
     address in-table without a separate validity clamp.
     """
     li = level.astype(jnp.int32)
     wl, hl, x0w, y0w, fu, fv = _level_coords(w0, h0, li, u, v)
-    ex = base_x.astype(jnp.int32) + li * w0.astype(jnp.int32)
+    w2 = jnp.maximum(w0.astype(jnp.int32), h0.astype(jnp.int32)) << 1
+    ex = base_x.astype(jnp.int32) + w2 - (w2 >> li)
     ey = base_y.astype(jnp.int32)
 
     flat = (ey + y0w) * atlas.width + (ex + x0w)

@@ -8,11 +8,16 @@ Texture storage is designed around one hard TPU constraint: *every indexed
 state is laid out so that one frame needs exactly one 16-byte-row gather per
 sampled mip level:
 
-* **Analytic atlas layout**: each texture is a horizontal strip — mip level
-  L sits at ``x = base_x + L * w0`` with size ``(w0 >> L, h0 >> L)``
-  (iterated floor-halving == shift). No per-(texture, level) entry table is
-  ever consulted per pixel; level addressing is pure arithmetic from 4
-  per-texture scalars.
+* **Analytic atlas layout**: each texture is a packed horizontal pyramid —
+  with ``W2 = 2 * max(w0, h0)``, mip level L sits at
+  ``x = base_x + W2 - (W2 >> L)`` with size ``(w0 >> L, h0 >> L)``
+  (offsets 0, W2/2, 3W2/4, ... — the geometric series packs the whole
+  chain into a strip < 2x the base width, ~3.5x tighter than one w0-wide
+  slot per level). No per-(texture, level) entry table is ever consulted
+  per pixel; level addressing is pure arithmetic from per-texture scalars.
+  Using max(w0, h0) keeps every level's slot at least as wide as the
+  level itself for non-square textures (slot width W2 >> (L+1) >= the
+  clamped level width max(w0 >> L, 1) for every generated level).
 * **Prebaked bilinear quads**: the atlas is stored as rows of 4 packed-RGBA8
   texels — texel (x, y) plus its +x/+y/+xy neighbors with REPEAT wrap baked
   inside the level region. A bilinear tap = ONE row gather; nearest-filter
@@ -161,16 +166,25 @@ def build_atlas(images: List[np.ndarray], mipmapped=None,
         meta[i, 4] = len(chain)
         chains.append(chain)
 
-    widest = max(c[0].shape[1] * len(c) for c in chains)
+    def _level_x(i: int, L: int) -> int:
+        # packed pyramid: level L at W2 - (W2 >> L), W2 = 2 * max(w0, h0)
+        w2 = 2 * max(int(meta[i, 2]), int(meta[i, 3]))
+        return w2 - (w2 >> L)
+
+    def _strip_w(i: int) -> int:
+        n = len(chains[i])
+        return _level_x(i, n - 1) + chains[i][n - 1].shape[1]
+
+    widest = max(_strip_w(i) for i in range(n))
     aw = max(128, 1 << int(np.ceil(np.log2(widest))))
 
-    # shelf packing of the (w0 * n_levels, h0) strips
+    # shelf packing of the packed-pyramid strips
     shelf_y = 0
     shelf_h = 0
     cursor_x = 0
     places = []
-    for c in chains:
-        h, w = c[0].shape[0], c[0].shape[1] * len(c)
+    for i, c in enumerate(chains):
+        h, w = c[0].shape[0], _strip_w(i)
         if cursor_x + w > aw:
             shelf_y += shelf_h
             cursor_x = 0
@@ -187,12 +201,11 @@ def build_atlas(images: List[np.ndarray], mipmapped=None,
     quads = np.zeros((ah, aw, 4), np.uint32)
     for i, chain in enumerate(chains):
         x, y = places[i]
-        w0 = meta[i, 2]
         for L, lvl in enumerate(chain):
-            if not native.blit_quad_rows_u32(lvl, quads, x + L * w0, y):
+            lx = x + _level_x(i, L)
+            if not native.blit_quad_rows_u32(lvl, quads, lx, y):
                 q = _quad_rows(_pack_rgba8(lvl))
-                quads[y:y + lvl.shape[0],
-                      x + L * w0:x + L * w0 + lvl.shape[1]] = q
+                quads[y:y + lvl.shape[0], lx:lx + lvl.shape[1]] = q
         meta[i, 0] = x
         meta[i, 1] = y
 
