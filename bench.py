@@ -68,10 +68,17 @@ def _run() -> int:
     from tpu_renderer.pipeline import render_frames
 
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *param_list)
+    # BENCH_RENDER_SCALE < 1 exercises the live render-scale path (scaled
+    # draw extent + linear upscale blit); the headline metric stays 1.0
+    scale = float(os.environ.get("BENCH_RENDER_SCALE", "1.0"))
     kw = dict(width=eng.config.width, height=eng.config.height,
               tile_h=eng.config.tile_h, tile_w=eng.config.tile_w,
               fp16=eng.config.framebuffer_fp16,
               transp_textured=eng._transp_textured(), **eng._caps)
+    if scale != 1.0:
+        kw.update(width=max(1, round(eng.config.width * scale)),
+                  height=max(1, round(eng.config.height * scale)),
+                  out_width=eng.config.width, out_height=eng.config.height)
     image, sums = render_frames(eng.flat.buffers, stacked, **kw)  # compile
     _ = np.asarray(sums)
     t0 = time.perf_counter()
@@ -111,6 +118,7 @@ def _run() -> int:
             "triangles": eng.stats.triangle_count,
             "mtris_per_sec": round(eng.stats.triangle_count * fps / 1e6, 2),
             "drawcalls": eng.stats.drawcall_count,
+            "render_scale": scale,
             "resolution": f"{width}x{height}",
         },
     }

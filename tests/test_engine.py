@@ -143,3 +143,37 @@ def test_dense_scene_never_overflows():
     assert eng._caps["bin_cap"] <= 512
     # the quad actually rendered (green center)
     assert img[16, 64][1] > 150
+
+
+def test_render_scale_upscale_blit():
+    """render_scale < 1 draws at the scaled extent and linear-blits up to
+    the window extent (the reference's _render_scale path made live,
+    vk_engine.cpp:1220-1222; filter from vkCmdBlitImage2 VK_FILTER_LINEAR,
+    vk_images.cpp:33-64)."""
+    from tpu_renderer import milestones
+    from tpu_renderer.config import RendererConfig
+
+    scene = milestones.colored_triangle_scene()
+    imgs = {}
+    for s in (1.0, 0.5):
+        cfg = RendererConfig(width=256, height=128, render_scale=s,
+                             **milestones.UNLIT_CONFIG_OVERRIDES)
+        eng = Engine(cfg)
+        eng.init(scene=scene)
+        import jax.numpy as jnp
+
+        params = eng.frame_params()._replace(
+            view=jnp.eye(4, dtype=jnp.float32),
+            proj=jnp.eye(4, dtype=jnp.float32))
+        img, _ = eng.draw_device(params)
+        from tpu_renderer.present import unpack_u8
+
+        imgs[s] = unpack_u8(np.asarray(img))
+    assert imgs[0.5].shape == imgs[1.0].shape == (128, 256, 4)
+    # the scaled render is blurrier but must be the same picture: compare
+    # 8x8-box-averaged images
+    a = imgs[1.0][..., :3].astype(np.float32).reshape(16, 8, 32, 8, 3).mean((1, 3))
+    b = imgs[0.5][..., :3].astype(np.float32).reshape(16, 8, 32, 8, 3).mean((1, 3))
+    assert np.abs(a - b).max() < 48, np.abs(a - b).max()
+    # and the triangle's center pixel shades identically
+    np.testing.assert_allclose(imgs[0.5][64, 128], imgs[1.0][64, 128], atol=30)

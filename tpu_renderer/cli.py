@@ -32,13 +32,17 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--pitch", type=float, default=0.0)
     p.add_argument("--background", type=int, default=0, choices=(0, 1),
                    help="0=gradient (default white), 1=sky")
+    p.add_argument("--render-scale", type=float, default=1.0,
+                   help="draw-extent scale; <1 renders fewer pixels and "
+                        "linear-blits up (vk_engine.cpp:1220-1222 made live)")
 
 
 def _make_engine(args, camera_default=(30.0, 0.0, -85.0)) -> Engine:
     cam = tuple(args.camera) if args.camera else camera_default
     cfg = RendererConfig(width=args.width, height=args.height,
                          camera_position=cam,
-                         background_effect=args.background)
+                         background_effect=args.background,
+                         render_scale=getattr(args, "render_scale", 1.0))
     eng = Engine(cfg)
     eng.camera.yaw = np.float32(args.yaw)
     eng.camera.pitch = np.float32(args.pitch)
@@ -126,7 +130,8 @@ def cmd_benchmark(args) -> int:
 
     cfg = RendererConfig(width=args.width, height=args.height,
                          camera_position=camera,
-                         background_effect=args.background)
+                         background_effect=args.background,
+                         render_scale=getattr(args, "render_scale", 1.0))
     eng = Engine(cfg)
     eng.camera.pitch = np.float32(args.pitch - 0.15)
     eng.camera.yaw = np.float32(args.yaw)
@@ -172,7 +177,8 @@ def cmd_view(args) -> int:
         camera = tuple(args.camera) if args.camera else (0.0, 4.0, args.grid * 2.2)
     cfg = RendererConfig(width=args.width, height=args.height,
                          camera_position=camera,
-                         background_effect=args.background)
+                         background_effect=args.background,
+                         render_scale=getattr(args, "render_scale", 1.0))
     eng = Engine(cfg)
     eng.camera.pitch = np.float32(args.pitch - 0.15)
     eng.init(scene_path=path)

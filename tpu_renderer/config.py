@@ -60,6 +60,15 @@ class RendererConfig:
     # quantization. Depth is D32_SFLOAT (vk_engine.cpp:774) => f32.
     framebuffer_fp16: bool = True
 
+    # --- Render scale (vk_engine.cpp:1220-1222) ---
+    # The reference computes _draw_extent from _render_scale and then
+    # overwrites it (dead code, vk_engine.cpp:1251-1252); here the knob is
+    # LIVE: geometry renders at round(extent * render_scale) and the frame
+    # upscales to the window extent with a linear blit
+    # (vkCmdBlitImage2 VK_FILTER_LINEAR semantics, vk_images.cpp:33-64).
+    # 0.5 shades ~4x fewer pixels — the practical interactive-speed lever.
+    render_scale: float = 1.0
+
     @property
     def aspect(self) -> float:
         return float(self.width) / float(self.height)

@@ -136,15 +136,27 @@ class Engine:
         cfg = self.config
         image, aux = render_frame(
             self.flat.buffers, params,
-            width=cfg.width, height=cfg.height,
             tile_h=cfg.tile_h, tile_w=cfg.tile_w,
             fp16=cfg.framebuffer_fp16,
             transp_textured=self._transp_textured(),
+            **self._extents(),
             **self._caps,
         )
         self.frame_number += 1
         self._last_aux = aux
         return image, aux
+
+    def _extents(self) -> dict:
+        """Render + output extents: render_scale shrinks the draw extent and
+        the frame upscale-blits to the window extent (the reference's
+        _render_scale path made live, vk_engine.cpp:1220-1222)."""
+        cfg = self.config
+        s = cfg.render_scale
+        if s == 1.0:
+            return dict(width=cfg.width, height=cfg.height)
+        return dict(width=max(1, int(round(cfg.width * s))),
+                    height=max(1, int(round(cfg.height * s))),
+                    out_width=cfg.width, out_height=cfg.height)
 
     def draw(self, block: bool = True, with_stats: bool = True,
              hud: bool = False) -> np.ndarray:

@@ -105,16 +105,23 @@ def _background(params: FrameParams, hp: int, wp: int, height: int):
     jax.jit,
     static_argnames=("width", "height", "tile_h", "tile_w",
                      "bin_cap", "tri_cap", "fp16", "transp_textured",
-                     "fused"),
+                     "fused", "out_width", "out_height"),
 )
 def render_frame(buffers: SceneBuffers, params: FrameParams, *,
                  width: int, height: int, tile_h: int = 32, tile_w: int = 128,
                  bin_cap: int = 512,
                  tri_cap: int = 1024, fp16: bool = True,
                  transp_textured: bool = True, fused: bool = True,
+                 out_width: int = None, out_height: int = None,
                  bg_fb=None):
     """Render one frame. Returns ((H, W) uint32 packed-RGBA image — see
     present.unpack_u8 for the host-side channel view — and an aux dict).
+
+    out_width/out_height: when set and different from (width, height), the
+    frame renders at (width, height) and upscales to the output extent
+    with a linear blit — the LIVE version of the reference's dead
+    _render_scale path (vk_engine.cpp:1220-1222, 1251-1252; filter
+    semantics from vkCmdBlitImage2 VK_FILTER_LINEAR, vk_images.cpp:33-64).
 
     bg_fb: optional precomputed (4, Hp, Wp) background (render_frames hoists
     it out of the frame scan — the effect is a pure function of the
@@ -306,14 +313,20 @@ def render_frame(buffers: SceneBuffers, params: FrameParams, *,
         aux["bin_overflow_transparent"] = overflow_t
         aux["transparent_layers"] = layers_found
 
-    image = to_packed_u32(fb, width=width, height=height)
+    if out_width is not None and (out_width, out_height) != (width, height):
+        up = jax.image.resize(fb[:, :height, :width],
+                              (4, out_height, out_width), method="linear")
+        image = to_packed_u32(up, width=out_width, height=out_height)
+    else:
+        image = to_packed_u32(fb, width=width, height=height)
     return image, aux
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "tile_h", "tile_w",
-                     "bin_cap", "tri_cap", "fp16", "transp_textured"),
+                     "bin_cap", "tri_cap", "fp16", "transp_textured",
+                     "out_width", "out_height"),
 )
 def render_frames(buffers: SceneBuffers, params_batch: FrameParams, **kw):
     """Render a whole batch of frames in ONE device program (lax.scan) —
@@ -337,6 +350,8 @@ def render_frames(buffers: SceneBuffers, params_batch: FrameParams, **kw):
         checksum = (img[::191, ::127] & 0xFF).astype(jnp.int32).sum()
         return img, checksum
 
-    init = jnp.zeros((kw["height"], kw["width"]), jnp.uint32)
+    oh = kw.get("out_height") or kw["height"]
+    ow = kw.get("out_width") or kw["width"]
+    init = jnp.zeros((oh, ow), jnp.uint32)
     last, sums = jax.lax.scan(step, init, params_batch)
     return last, sums
