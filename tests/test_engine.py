@@ -177,3 +177,37 @@ def test_render_scale_upscale_blit():
     assert np.abs(a - b).max() < 48, np.abs(a - b).max()
     # and the triangle's center pixel shades identically
     np.testing.assert_allclose(imgs[0.5][64, 128], imgs[1.0][64, 128], atol=30)
+
+
+def test_render_scale_supersampling():
+    """render_scale > 1 = SSAA: draw at 2x, linear-blit down. Edges must
+    come out smoother (more intermediate values) than the native render."""
+    from tpu_renderer import milestones
+    from tpu_renderer.config import RendererConfig
+
+    import jax.numpy as jnp
+    from tpu_renderer.present import unpack_u8
+
+    scene = milestones.colored_triangle_scene()
+    imgs = {}
+    for s in (1.0, 2.0):
+        cfg = RendererConfig(width=128, height=64, render_scale=s,
+                             **milestones.UNLIT_CONFIG_OVERRIDES)
+        eng = Engine(cfg)
+        eng.init(scene=scene)
+        params = eng.frame_params()._replace(
+            view=jnp.eye(4, dtype=jnp.float32),
+            proj=jnp.eye(4, dtype=jnp.float32))
+        img, _ = eng.draw_device(params)
+        imgs[s] = unpack_u8(np.asarray(img))
+    assert imgs[2.0].shape == (64, 128, 4)
+    # same picture coarsely
+    a = imgs[1.0][..., :3].astype(np.float32).reshape(8, 8, 16, 8, 3).mean((1, 3))
+    b = imgs[2.0][..., :3].astype(np.float32).reshape(8, 8, 16, 8, 3).mean((1, 3))
+    assert np.abs(a - b).max() < 40
+    # SSAA produces antialiased edge pixels: count "partial coverage" values
+    def partials(im):
+        g = im[..., 1].astype(int)
+        return int(((g > 32) & (g < 223)).sum())
+
+    assert partials(imgs[2.0]) > partials(imgs[1.0])

@@ -66,7 +66,8 @@ class RendererConfig:
     # LIVE: geometry renders at round(extent * render_scale) and the frame
     # upscales to the window extent with a linear blit
     # (vkCmdBlitImage2 VK_FILTER_LINEAR semantics, vk_images.cpp:33-64).
-    # 0.5 shades ~4x fewer pixels — the practical interactive-speed lever.
+    # 0.5 shades ~4x fewer pixels — the practical interactive-speed lever;
+    # > 1.0 is supersampling (SSAA): draw at NxN, linear-blit down.
     render_scale: float = 1.0
 
     @property
