@@ -53,11 +53,13 @@ def _edge_bound(a, b):
 
     cov = (c > 0) | ((c == 0) & top_left)  collapses to ONE vector compare
     c >= bound with bound = 0 for top-left edges and FLT_MIN otherwise:
-    c >= FLT_MIN <=> c > 0 exactly, because TPU float math flushes
+    c >= FLT_MIN <=> c > 0 exactly on TPU, because its float math flushes
     subnormals to zero, so no edge value lands strictly inside
-    (0, FLT_MIN). The streaming kernels use this; the gathered oracle
-    kernels keep the explicit 3-op form, and the equivalence tests pin the
-    two bit-for-bit against each other.
+    (0, FLT_MIN). (In interpret mode on CPU, subnormal edge values exist
+    in principle and would diverge; they require degenerate ~1e-38-scale
+    edge coefficients no real scene produces.) The streaming kernels use
+    this; the gathered oracle kernels keep the explicit 3-op form, and the
+    equivalence tests pin the two bit-for-bit against each other.
     """
     tl = (a > 0.0) | ((a == 0.0) & (b > 0.0))
     return jnp.where(tl, jnp.float32(0.0), jnp.float32(_FLT_MIN))
@@ -109,6 +111,34 @@ def chunk_aabbs(aabb, valid):
 # ---------------------------------------------------------------------------
 
 
+def _dense_sorted_hits(aabb, valid, *, tiles_x: int, tiles_y: int,
+                       tile_w: int, tile_h: int):
+    """Dense (n_tiles, T) AABB-overlap matrix compacted by a row-wise sort.
+
+    Hits keep their slot id (submission order); misses sort behind as
+    T + slot. Returns (key_sorted (n_tiles, T) i32, counts (n_tiles,) i32
+    exact per-tile hit counts). Shared by bin_triangles (capped) and
+    bin_triangles_full (uncapped).
+    """
+    T = aabb.shape[0]
+    n_tiles = tiles_x * tiles_y
+    packed = _pack_tile_aabb(aabb, tiles_x, tiles_y, tile_w, tile_h)
+    tiles = jnp.arange(n_tiles, dtype=jnp.int32)
+    tx = (tiles % tiles_x)[:, None]
+    ty = (tiles // tiles_x)[:, None]
+    x0 = (packed & 0xFF)[None, :]
+    y0 = ((packed >> 8) & 0xFF)[None, :]
+    x1 = ((packed >> 16) & 0xFF)[None, :]
+    y1 = ((packed >> 24) & 0xFF)[None, :]
+    hit = (valid[None, :] & (x0 <= x1)
+           & (x0 <= tx) & (x1 >= tx) & (y0 <= ty) & (y1 >= ty))
+    counts = jnp.sum(hit.astype(jnp.int32), axis=1)
+    slot = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None, :],
+                            (n_tiles, T))
+    key = jnp.where(hit, slot, slot + T)
+    return jax.lax.sort(key, dimension=1), counts
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("tiles_x", "tiles_y", "tile_w", "tile_h", "bin_cap"),
@@ -130,29 +160,11 @@ def bin_triangles(aabb, valid, *, tiles_x: int, tiles_y: int, tile_w: int,
              overflow () i32 — total entries dropped beyond bin_cap).
     """
     T = aabb.shape[0]
-    n_tiles = tiles_x * tiles_y
-
-    packed = _pack_tile_aabb(aabb, tiles_x, tiles_y, tile_w, tile_h)
-    tiles = jnp.arange(n_tiles, dtype=jnp.int32)
-    tx = (tiles % tiles_x)[:, None]
-    ty = (tiles // tiles_x)[:, None]
-    x0 = (packed & 0xFF)[None, :]
-    y0 = ((packed >> 8) & 0xFF)[None, :]
-    x1 = ((packed >> 16) & 0xFF)[None, :]
-    y1 = ((packed >> 24) & 0xFF)[None, :]
-    hit = (valid[None, :] & (x0 <= x1)
-           & (x0 <= tx) & (x1 >= tx) & (y0 <= ty) & (y1 >= ty))
-
-    full_counts = jnp.sum(hit.astype(jnp.int32), axis=1)
+    key_sorted, full_counts = _dense_sorted_hits(
+        aabb, valid, tiles_x=tiles_x, tiles_y=tiles_y,
+        tile_w=tile_w, tile_h=tile_h)
     eff_cap = min(bin_cap, T)
     counts = jnp.minimum(full_counts, eff_cap)
-
-    # compact by row-wise sort of ONE i32 array: hits keep their slot id
-    # (submission order), misses sort behind as T+slot
-    slot = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None, :],
-                            (n_tiles, T))
-    key = jnp.where(hit, slot, slot + T)
-    key_sorted = jax.lax.sort(key, dimension=1)
     in_bin = jnp.arange(eff_cap, dtype=jnp.int32)[None, :] < counts[:, None]
     bins = jnp.where(in_bin, key_sorted[:, :eff_cap], NO_TRI)
     if eff_cap < bin_cap:
@@ -182,24 +194,9 @@ def bin_triangles_full(aabb, valid, *, tiles_x: int, tiles_y: int,
              counts (n_tiles,) i32 — exact, never clamped).
     """
     T = aabb.shape[0]
-    n_tiles = tiles_x * tiles_y
-
-    packed = _pack_tile_aabb(aabb, tiles_x, tiles_y, tile_w, tile_h)
-    tiles = jnp.arange(n_tiles, dtype=jnp.int32)
-    tx = (tiles % tiles_x)[:, None]
-    ty = (tiles // tiles_x)[:, None]
-    x0 = (packed & 0xFF)[None, :]
-    y0 = ((packed >> 8) & 0xFF)[None, :]
-    x1 = ((packed >> 16) & 0xFF)[None, :]
-    y1 = ((packed >> 24) & 0xFF)[None, :]
-    hit = (valid[None, :] & (x0 <= x1)
-           & (x0 <= tx) & (x1 >= tx) & (y0 <= ty) & (y1 >= ty))
-
-    counts = jnp.sum(hit.astype(jnp.int32), axis=1)
-    slot = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None, :],
-                            (n_tiles, T))
-    key = jnp.where(hit, slot, slot + T)
-    key_sorted = jax.lax.sort(key, dimension=1)
+    key_sorted, counts = _dense_sorted_hits(
+        aabb, valid, tiles_x=tiles_x, tiles_y=tiles_y,
+        tile_w=tile_w, tile_h=tile_h)
     in_bin = jnp.arange(T, dtype=jnp.int32)[None, :] < counts[:, None]
     bins = jnp.where(in_bin, key_sorted, NO_TRI)
     Tp = cdiv(T, 8) * 8
@@ -931,11 +928,13 @@ ROW_PAD = 128  # fat rows padded 48 -> 128 f32: Mosaic requires HBM slice
 
 
 def _prep_stream_rows(fat_rows):
-    """(T, 48) fat rows -> (C, CHUNK, ROW_PAD) HBM-DMA-able chunk blocks
-    (column 47 gets the global triangle id)."""
+    """(T, 48) fat rows -> (C, CHUNK, ROW_PAD) HBM-DMA-able chunk blocks.
+
+    The streaming kernels compute triangle ids as cid*CHUNK + t (ids are
+    sequential within a chunk), so no id column is materialized here; only
+    the gathered oracle kernels stamp column 47, and they do it themselves.
+    """
     T = fat_rows.shape[0]
-    fat_rows = fat_rows.at[:, 47].set(
-        jnp.arange(T, dtype=jnp.int32).astype(jnp.float32))
     rows64 = jnp.pad(fat_rows, ((0, 0), (0, ROW_PAD - fat_rows.shape[1])))
     return rows64.reshape(T // CHUNK, CHUNK, ROW_PAD)
 
@@ -1015,19 +1014,13 @@ def rasterize_fused_chunks(fat_rows, cbins, ccounts, *, tiles_x: int,
                            tiles_y: int, tile_w: int, tile_h: int):
     """Fused raster from CHUNK bins (no refine pass, no XLA row gather).
 
-    fat_rows: (T, 48) f32, T % CHUNK == 0 (column 47 gets the global id).
-    cbins/ccounts: bin_triangles output over chunk AABBs.
+    fat_rows: (T, 48) f32, T % CHUNK == 0.
+    cbins/ccounts: bin_triangles output over chunk AABBs (any width —
+    _pack_bins_cols pads as needed).
     Returns (z, tid, attrs (8,Hp,Wp), meta (6,Hp,Wp)).
     """
     T = fat_rows.shape[0]
     C = T // CHUNK
-    n_tiles, bcap = cbins.shape
-    bcap_pad = cdiv(bcap, 8) * 8
-    if bcap_pad != bcap:
-        cbins = jnp.pad(cbins, ((0, 0), (0, bcap_pad - bcap)),
-                        constant_values=NO_TRI)
-        bcap = bcap_pad
-
     rows64 = _prep_stream_rows(fat_rows)
     bins3 = _pack_bins_cols(jnp.clip(cbins, 0, C - 1))
     state = _stream_slab_call(ccounts, bins3, rows64, None, tiles_x=tiles_x,
@@ -1039,13 +1032,47 @@ SLAB_CAP = 16384  # chunk-bin slab width (128k tris/tile/slab; the
 #                   packed (G, BIN_LANES) bins block stays ~1 MB VMEM)
 
 
+def _for_each_slab(bins_full, counts, C, slab_cap, run_first, run_next):
+    """Shared slab walk over uncapped dense bins.
+
+    Slices slab_cap columns at a time, packs each slice column-major, runs
+    the first slab unguarded and every later slab behind one whole-frame
+    lax.cond (skipped when no tile has entries there). slab_cap=None (the
+    pipeline default) picks a single full-width pass for widths up to
+    2*SLAB_CAP — no slicing, no guarded calls (the slicing + cond overhead
+    measured ~2 ms/frame on the demo scene); pass an explicit slab_cap to
+    force slab splitting (the equivalence tests exercise the carried-state
+    path that way).
+    """
+    n_tiles, width = bins_full.shape
+    assert width % 8 == 0
+    if slab_cap is None:
+        slab_cap = width if width <= 2 * SLAB_CAP else SLAB_CAP
+    assert slab_cap % 8 == 0
+    state = None
+    for s in range(0, width, slab_cap):
+        sbins = bins_full if slab_cap == width else bins_full[:, s:s + slab_cap]
+        scounts = counts if slab_cap == width \
+            else jnp.clip(counts - s, 0, sbins.shape[1])
+        bins3 = _pack_bins_cols(jnp.clip(sbins, 0, C - 1))
+        if state is None:
+            state = run_first(scounts, bins3)
+        else:
+            state = jax.lax.cond(
+                jnp.any(scounts > 0),
+                lambda st, sc=scounts, b3=bins3: run_next(sc, b3, st),
+                lambda st: st,
+                state)
+    return state
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("tiles_x", "tiles_y", "tile_w", "tile_h", "slab_cap"),
 )
 def rasterize_fused_slabs(fat_rows, bins_full, counts, *, tiles_x: int,
                           tiles_y: int, tile_w: int, tile_h: int,
-                          slab_cap: int = SLAB_CAP):
+                          slab_cap: int = None):
     """Fused raster over UNCAPPED dense bins, in slabs — never drops.
 
     bins_full/counts: bin_triangles_full output over chunk AABBs. The wide
@@ -1058,36 +1085,13 @@ def rasterize_fused_slabs(fat_rows, bins_full, counts, *, tiles_x: int,
     escalate-and-redraw overflow handling (the reference's hardware pipeline
     has no capacity cliff either, vk_engine.cpp:1453).
     """
-    T = fat_rows.shape[0]
-    C = T // CHUNK
-    n_tiles, width = bins_full.shape
-    assert width % 8 == 0 and slab_cap % 8 == 0
-    if slab_cap == SLAB_CAP and width <= 2 * SLAB_CAP:
-        # single full-width pass: no slab slicing, no guarded second call
-        # (measured ~2 ms/frame of slicing + cond overhead on the demo
-        # scene); the VMEM bins block stays comfortably small. Only when
-        # the caller didn't override slab_cap (tests force tiny slabs to
-        # exercise the carried-state path).
-        slab_cap = width
-
+    C = fat_rows.shape[0] // CHUNK
     rows64 = _prep_stream_rows(fat_rows)
     kw = dict(tiles_x=tiles_x, tiles_y=tiles_y, tile_w=tile_w, tile_h=tile_h)
-
-    state = None
-    for s in range(0, width, slab_cap):
-        sbins = bins_full if slab_cap == width else bins_full[:, s:s + slab_cap]
-        scounts = counts if slab_cap == width \
-            else jnp.clip(counts - s, 0, sbins.shape[1])
-        bins3 = _pack_bins_cols(jnp.clip(sbins, 0, C - 1))
-        if state is None:
-            state = _stream_slab_call(scounts, bins3, rows64, None, **kw)
-        else:
-            state = jax.lax.cond(
-                jnp.any(scounts > 0),
-                lambda st, sc=scounts, b3=bins3: _stream_slab_call(
-                    sc, b3, rows64, st, **kw),
-                lambda st: st,
-                state)
+    state = _for_each_slab(
+        bins_full, counts, C, slab_cap,
+        lambda sc, b3: _stream_slab_call(sc, b3, rows64, None, **kw),
+        lambda sc, b3, st: _stream_slab_call(sc, b3, rows64, st, **kw))
     return _state_to_outputs(state)
 
 
@@ -1336,17 +1340,8 @@ def rasterize_accum_chunks(fat_rows, cbins, ccounts, z_base, light, *,
     Same contract as rasterize_accum_fused but consuming CHUNK bins directly
     (no expand_bins/refine, no XLA row gather).
     """
-    T = fat_rows.shape[0]
-    C = T // CHUNK
-    n_tiles, bcap = cbins.shape
-    bcap_pad = cdiv(bcap, 8) * 8
-    if bcap_pad != bcap:
-        cbins = jnp.pad(cbins, ((0, 0), (0, bcap_pad - bcap)),
-                        constant_values=NO_TRI)
-        bcap = bcap_pad
-
-    rows64 = jnp.pad(fat_rows, ((0, 0), (0, ROW_PAD - fat_rows.shape[1])))
-    rows64 = rows64.reshape(C, CHUNK, ROW_PAD)
+    C = fat_rows.shape[0] // CHUNK
+    rows64 = _prep_stream_rows(fat_rows)
     bins3 = _pack_bins_cols(jnp.clip(cbins, 0, C - 1))
     return _accum_slab_call(ccounts, light, bins3, rows64, z_base,
                             tiles_x=tiles_x, tiles_y=tiles_y,
@@ -1395,7 +1390,7 @@ def _accum_slab_call(ccounts, light, bins3, rows64, z_base, *, tiles_x: int,
 )
 def rasterize_accum_slabs(fat_rows, bins_full, counts, z_base, light, *,
                           tiles_x: int, tiles_y: int, tile_w: int,
-                          tile_h: int, slab_cap: int = SLAB_CAP):
+                          tile_h: int, slab_cap: int = None):
     """Transparent accumulation over UNCAPPED dense bins, in slabs.
 
     The accumulation is an order-independent SUM (see rasterize_accum_fused),
@@ -1404,37 +1399,16 @@ def rasterize_accum_slabs(fat_rows, bins_full, counts, z_base, light, *,
     is ever dropped — the structural analog of the reference blending every
     transparent fragment (vk_engine.cpp:1459-1465).
     """
-    T = fat_rows.shape[0]
-    C = T // CHUNK
-    n_tiles, width = bins_full.shape
-    assert width % 8 == 0 and slab_cap % 8 == 0
-
-    if slab_cap == SLAB_CAP and width <= 2 * SLAB_CAP:
-        slab_cap = width  # single pass (see rasterize_fused_slabs)
-
-    rows64 = jnp.pad(fat_rows, ((0, 0), (0, ROW_PAD - fat_rows.shape[1])))
-    rows64 = rows64.reshape(C, CHUNK, ROW_PAD)
+    C = fat_rows.shape[0] // CHUNK
+    rows64 = _prep_stream_rows(fat_rows)
     kw = dict(tiles_x=tiles_x, tiles_y=tiles_y, tile_w=tile_w, tile_h=tile_h)
-
-    acc = cnt = None
-    for s in range(0, width, slab_cap):
-        sbins = bins_full if slab_cap == width else bins_full[:, s:s + slab_cap]
-        scounts = counts if slab_cap == width \
-            else jnp.clip(counts - s, 0, sbins.shape[1])
-        bins3 = _pack_bins_cols(jnp.clip(sbins, 0, C - 1))
-        if acc is None:
-            acc, cnt = _accum_slab_call(scounts, light, bins3, rows64,
-                                        z_base, **kw)
-        else:
-            acc, cnt = jax.lax.cond(
-                jnp.any(scounts > 0),
-                lambda a, c, sc=scounts, b3=bins3: tuple(
-                    x + y for x, y in zip(
-                        (a, c),
-                        _accum_slab_call(sc, light, b3, rows64, z_base, **kw))),
-                lambda a, c: (a, c),
-                acc, cnt)
-    return acc, cnt
+    # the per-slab combine is ADDITION (order-independent sum): no carried
+    # kernel state, each slab's (acc, cnt) simply adds
+    return _for_each_slab(
+        bins_full, counts, C, slab_cap,
+        lambda sc, b3: _accum_slab_call(sc, light, b3, rows64, z_base, **kw),
+        lambda sc, b3, st: tuple(x + y for x, y in zip(
+            st, _accum_slab_call(sc, light, b3, rows64, z_base, **kw))))
 
 
 def _peel_fused_kernel(counts_ref, rows_ref, zbase_ref, last_ref,
@@ -1753,7 +1727,7 @@ def _peel_slab_call(ccounts, bins3, rows64, z_base, last_id, state, *,
 )
 def rasterize_peel_slabs(fat_rows, bins_full, counts, z_base, last_id, *,
                          tiles_x: int, tiles_y: int, tile_w: int,
-                         tile_h: int, slab_cap: int = SLAB_CAP):
+                         tile_h: int, slab_cap: int = None):
     """Transparency peel over UNCAPPED dense chunk bins, in slabs.
 
     bins_full/counts: bin_triangles_full output over chunk AABBs. The peel
@@ -1766,34 +1740,15 @@ def rasterize_peel_slabs(fat_rows, bins_full, counts, z_base, last_id, *,
 
     Returns (best id (ID_INF where no layer), attrs (8,Hp,Wp), meta (6,Hp,Wp)).
     """
-    T = fat_rows.shape[0]
-    C = T // CHUNK
-    n_tiles, width = bins_full.shape
-    assert width % 8 == 0 and slab_cap % 8 == 0
-
-    if slab_cap == SLAB_CAP and width <= 2 * SLAB_CAP:
-        slab_cap = width  # single pass (see rasterize_fused_slabs)
-
+    C = fat_rows.shape[0] // CHUNK
     rows64 = _prep_stream_rows(fat_rows)
     kw = dict(tiles_x=tiles_x, tiles_y=tiles_y, tile_w=tile_w, tile_h=tile_h)
-
-    state = None
-    for s in range(0, width, slab_cap):
-        sbins = bins_full if slab_cap == width else bins_full[:, s:s + slab_cap]
-        scounts = counts if slab_cap == width \
-            else jnp.clip(counts - s, 0, sbins.shape[1])
-        bins3 = _pack_bins_cols(jnp.clip(sbins, 0, C - 1))
-        if state is None:
-            state = _peel_slab_call(scounts, bins3, rows64, z_base, last_id,
-                                    None, **kw)
-        else:
-            state = jax.lax.cond(
-                jnp.any(scounts > 0),
-                lambda st, sc=scounts, b3=bins3: _peel_slab_call(
-                    sc, b3, rows64, z_base, last_id, st, **kw),
-                lambda st: st,
-                state)
-    best, cs, nums, metas = state
+    best, cs, nums, metas = _for_each_slab(
+        bins_full, counts, C, slab_cap,
+        lambda sc, b3: _peel_slab_call(sc, b3, rows64, z_base, last_id,
+                                       None, **kw),
+        lambda sc, b3, st: _peel_slab_call(sc, b3, rows64, z_base, last_id,
+                                           st, **kw))
     inv = jnp.where(cs != 0.0, 1.0 / cs, 0.0)
     return best, nums * inv[None], metas
 
