@@ -211,3 +211,46 @@ def test_render_scale_supersampling():
         return int(((g > 32) & (g < 223)).sum())
 
     assert partials(imgs[2.0]) > partials(imgs[1.0])
+
+
+def test_deferred_dense_scene_escalates_and_redraws_same_frame():
+    """config.fused=False keeps the capped deferred path: a dense scene
+    overflows, the caps escalate, and the SAME frame (same camera params)
+    redraws before draw() returns — the growable-descriptor-pool analog
+    (vk_descriptors.cpp:70-170)."""
+    import tpu_renderer.scene as sm
+    from tpu_renderer import milestones
+    from tpu_renderer.config import RendererConfig
+
+    scene = milestones.colored_quad_scene(z0=0.5, z1=0.5)
+    scene.colors = np.tile(np.array([0, 1, 0, 1], np.float32), (4, 1))
+    rng = np.random.default_rng(3)
+    for k in range(700):
+        node = sm.MeshNode(0, f"q{k}")
+        m = np.eye(4, dtype=np.float32)
+        m[0, 3] = rng.uniform(-0.01, 0.01)
+        node.refresh_transform(m)
+        node.local_transform = m
+        scene.nodes.append(node)
+        scene.top_nodes.append(node)
+    cfg = RendererConfig(width=128, height=32, fused=False,
+                         **milestones.UNLIT_CONFIG_OVERRIDES)
+    eng = Engine(cfg)
+    eng.init(scene=scene)
+    eng._caps = dict(bin_cap=64, tri_cap=128)  # force overflow
+    import jax.numpy as jnp
+
+    params = eng.frame_params()._replace(view=jnp.eye(4, dtype=jnp.float32),
+                                         proj=jnp.eye(4, dtype=jnp.float32))
+    calls = []
+    eng.update_scene = lambda **kw: calls.append(1) or params
+    img = eng.draw()
+    # the redraw loop escalated (possibly several times) and the final
+    # frame has no drops
+    assert eng._caps["bin_cap"] > 64 or eng._caps["tri_cap"] > 128
+    a = {k: int(np.asarray(v)) for k, v in eng._last_aux.items()}
+    assert a["bin_overflow"] == 0 and a["bin_overflow_tris"] == 0, a
+    # the SAME frame params were reused across the redraws: update_scene
+    # ran exactly once (no double camera integration)
+    assert len(calls) == 1
+    assert img[16, 64][1] > 150  # the quad rendered (green center)

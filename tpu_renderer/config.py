@@ -60,6 +60,13 @@ class RendererConfig:
     # quantization. Depth is D32_SFLOAT (vk_engine.cpp:774) => f32.
     framebuffer_fp16: bool = True
 
+    # --- Raster path selection (ours) ---
+    # True (default): fused chunk-streaming slab raster — uncapped, nothing
+    # can overflow. False: the deferred (gather-based) path with capped
+    # bins + reactive cap escalation; kept as an A/B oracle and for the
+    # multichip composite comparison.
+    fused: bool = True
+
     # --- Render scale (vk_engine.cpp:1220-1222) ---
     # The reference computes _draw_extent from _render_scale and then
     # overwrites it (dead code, vk_engine.cpp:1251-1252); here the knob is

@@ -17,7 +17,6 @@ import dataclasses
 import time
 from typing import Optional
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -68,21 +67,24 @@ class Engine:
         self._compute_caps()
 
     def _compute_caps(self) -> None:
-        """Static binning capacities from scene size (re-jit on change)."""
+        """Static binning capacities from scene size (re-jit on change).
+
+        Only the DEFERRED path (config.fused = False) consumes these — the
+        fused slab path is uncapped by construction.
+        """
         b = self.flat.buffers
         n_chunks = max(
             b.opaque_tri_vidx.shape[0] // raster.CHUNK,
             b.transp_tri_vidx.shape[0] // raster.CHUNK,
             1,
         )
-        cfg = self.config
-        wp = -(-cfg.width // cfg.tile_w) * cfg.tile_w
-        hp = -(-cfg.height // cfg.tile_h) * cfg.tile_h
-        n_tiles = (wp // cfg.tile_w) * (hp // cfg.tile_h)
-        # per-tile chunk-slot capacity; candidate table is n_tiles*bin_cap*CHUNK
         bin_cap = int(min(max(64, n_chunks), 512))
         tri_cap = 1024
         self._caps = dict(bin_cap=bin_cap, tri_cap=tri_cap)
+        # static per-scene draw/triangle counts for the stats HUD (computed
+        # once — fetching the mask arrays per frame is host-transfer waste)
+        self._n_transp_draws = int(np.sum(~np.asarray(b.draw_opaque_mask)))
+        self._n_transp_tris = int(np.sum(np.asarray(b.transp_tri_valid)))
 
     # -- per-frame ------------------------------------------------------------
 
@@ -139,6 +141,7 @@ class Engine:
             tile_h=cfg.tile_h, tile_w=cfg.tile_w,
             fp16=cfg.framebuffer_fp16,
             transp_textured=self._transp_textured(),
+            fused=cfg.fused,
             **self._extents(),
             **self._caps,
         )
@@ -158,26 +161,28 @@ class Engine:
                     height=max(1, int(round(cfg.height * s))),
                     out_width=cfg.width, out_height=cfg.height)
 
-    def draw(self, block: bool = True, with_stats: bool = True,
-             hud: bool = False) -> np.ndarray:
+    def draw(self, with_stats: bool = True, hud: bool = False) -> np.ndarray:
         """Render one frame; returns the (H, W, 4) uint8 image on host.
 
-        If the frame overflowed a binning capacity (dense scene), the caps
-        escalate and the SAME frame redraws before returning — the caller
-        never sees a frame with dropped geometry (the reference pipeline has
-        no capacity cliff to begin with, vk_engine.cpp:1453).
+        On the default fused path nothing can overflow (uncapped slab bins).
+        On the deferred path (config.fused = False), a frame that overflows
+        a binning capacity escalates the caps and the SAME frame (same
+        camera params — the scene is NOT re-integrated) redraws before
+        returning, so the caller never sees dropped geometry (the reference
+        pipeline has no capacity cliff to begin with, vk_engine.cpp:1453).
 
         hud=True burns the stats overlay into the frame (the ImGui window,
         vk_engine.cpp:1175-1191)."""
         t0 = time.perf_counter()
-        image, aux = self.draw_device()
+        params = self.update_scene()
+        image, aux = self.draw_device(params)
         if with_stats:
             for _ in range(4):
                 caps = dict(self._caps)
                 self._update_stats(aux)  # escalates caps on overflow
                 if self._caps == caps:
                     break
-                image, aux = self.draw_device()
+                image, aux = self.draw_device(params)
         from tpu_renderer.present import unpack_u8
 
         out = unpack_u8(np.asarray(image))
@@ -190,21 +195,20 @@ class Engine:
         return out
 
     def _update_stats(self, aux) -> None:
-        import jax.numpy as jnp
-
-        b = self.flat.buffers
-        n_transp_draws = int(np.sum(~np.asarray(b.draw_opaque_mask)))
-        n_transp_tris = int(np.sum(np.asarray(b.transp_tri_valid)))
-        # one batched device->host transfer for all counters
+        # one batched device->host transfer for all counters (the static
+        # per-scene transparent counts were cached in _compute_caps)
         keys = sorted(aux.keys())
         vals = np.asarray(jnp.stack([aux[k].astype(jnp.int32) for k in keys])) \
             if keys else np.zeros(0, np.int32)
         a = dict(zip(keys, vals.tolist()))
-        self.stats.triangle_count = a.get("opaque_triangles", 0) + n_transp_tris
-        self.stats.drawcall_count = a.get("visible_opaque_draws", 0) + n_transp_draws
-        transp_of = a.get("bin_overflow_transparent", 0)
-        chunk_of = a.get("bin_overflow", 0) + transp_of
-        tri_of = a.get("bin_overflow_tris", 0) + transp_of
+        self.stats.triangle_count = (a.get("opaque_triangles", 0)
+                                     + self._n_transp_tris)
+        self.stats.drawcall_count = (a.get("visible_opaque_draws", 0)
+                                     + self._n_transp_draws)
+        chunk_of = (a.get("bin_overflow", 0)
+                    + a.get("bin_overflow_transparent", 0))
+        tri_of = (a.get("bin_overflow_tris", 0)
+                  + a.get("bin_overflow_transparent_tris", 0))
         if chunk_of or tri_of:
             import logging
 

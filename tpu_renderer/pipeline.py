@@ -224,7 +224,7 @@ def render_frame(buffers: SceneBuffers, params: FrameParams, *,
             # SUM over all transparent fragments — one raster pass shades and
             # accumulates EVERY layer (no peel cap; uncapped slab bins, so
             # nothing can overflow either; no expand/refine).
-            overflow_t = jnp.int32(0)
+            overflow_tc = overflow_tt = jnp.int32(0)
             cbins_tf, ccounts_tf = raster.bin_triangles_full(
                 caabb_t, cvalid_t, tiles_x=tiles_x, tiles_y=tiles_y,
                 tile_w=tile_w, tile_h=tile_h)
@@ -252,7 +252,7 @@ def render_frame(buffers: SceneBuffers, params: FrameParams, *,
                 # uncapped slab bins: the peel loop walks every overlap, so
                 # this path can't overflow either (nothing in the renderer
                 # has a triangle capacity any more)
-                overflow_t = jnp.int32(0)
+                overflow_tc = overflow_tt = jnp.int32(0)
                 cbins_tf, ccounts_tf = raster.bin_triangles_full(
                     caabb_t, cvalid_t, tiles_x=tiles_x, tiles_y=tiles_y,
                     tile_w=tile_w, tile_h=tile_h)
@@ -271,7 +271,6 @@ def render_frame(buffers: SceneBuffers, params: FrameParams, *,
                         cbins_t, setup_t.aabb, tiles_x=tiles_x,
                         tiles_y=tiles_y, tile_w=tile_w, tile_h=tile_h,
                         tri_cap=tri_cap)
-                overflow_t = overflow_tc + overflow_tt
 
             def one_peel(fb, last):
                 if fused:
@@ -310,9 +309,14 @@ def render_frame(buffers: SceneBuffers, params: FrameParams, *,
                     jnp.zeros((), jnp.int32), jnp.asarray(True))
             fb, _, layers_found, _ = jax.lax.while_loop(
                 lambda c: c[3], peel_body, init)
-        aux["bin_overflow_transparent"] = overflow_t
+        # separate chunk vs triangle overflow so cap escalation widens only
+        # the capacity that actually overflowed (engine._escalate_caps)
+        aux["bin_overflow_transparent"] = overflow_tc
+        aux["bin_overflow_transparent_tris"] = overflow_tt
         aux["transparent_layers"] = layers_found
 
+    assert (out_width is None) == (out_height is None), \
+        "out_width and out_height must be set together"
     if out_width is not None and (out_width, out_height) != (width, height):
         up = jax.image.resize(fb[:, :height, :width],
                               (4, out_height, out_width), method="linear")
@@ -326,7 +330,7 @@ def render_frame(buffers: SceneBuffers, params: FrameParams, *,
     jax.jit,
     static_argnames=("width", "height", "tile_h", "tile_w",
                      "bin_cap", "tri_cap", "fp16", "transp_textured",
-                     "out_width", "out_height"),
+                     "fused", "out_width", "out_height"),
 )
 def render_frames(buffers: SceneBuffers, params_batch: FrameParams, **kw):
     """Render a whole batch of frames in ONE device program (lax.scan) —
