@@ -74,7 +74,8 @@ def _run() -> int:
     kw = dict(width=eng.config.width, height=eng.config.height,
               tile_h=eng.config.tile_h, tile_w=eng.config.tile_w,
               fp16=eng.config.framebuffer_fp16,
-              transp_textured=eng._transp_textured(), **eng._caps)
+              transp_textured=eng._transp_textured(),
+              trilinear=eng._trilinear, **eng._caps)
     if scale != 1.0:
         kw.update(width=max(1, round(eng.config.width * scale)),
                   height=max(1, round(eng.config.height * scale)),

@@ -220,3 +220,47 @@ def test_fused_transparent_matches_deferred():
                         bin_cap=128, fused=False)
     diff = np.abs(np.asarray(a).astype(int) - np.asarray(b).astype(int))
     assert diff.max() <= 1, f"max u8 diff {diff.max()}"
+
+
+def test_nearest_mip_scene_single_tap_identical():
+    """Scenes with no trilinear sampler render bit-identically with the
+    static single-tap fast path (trilinear=False drops the second mip-tap
+    gather; the per-pixel mip fraction is provably 0 there)."""
+    tex = (np.arange(8 * 8 * 4, dtype=np.uint32) % 256).astype(np.uint8)
+    tex = tex.reshape(8, 8, 4)
+    tex[..., 3] = 255
+    # nearest-mip sampler (FILTER_MIP_LINEAR off), mipmapped texture
+    scene = milestones.textured_quad_scene(tex, nearest=True, mipmapped=True)
+    flat = flatten_scene(scene)
+    params = FrameParams(
+        view=I4, proj=I4, bg_effect=jnp.int32(0),
+        bg_data1=jnp.asarray((1, 1, 1, 1), jnp.float32),
+        bg_data2=jnp.asarray((1, 1, 1, 1), jnp.float32),
+        ambient=jnp.zeros(4, jnp.float32),
+        sun_dir=jnp.asarray((0, 0, 1, 1), jnp.float32),
+        sun_color=jnp.ones(4, jnp.float32))
+    a, _ = render_frame(flat.buffers, params, width=W, height=H,
+                        trilinear=True)
+    b, _ = render_frame(flat.buffers, params, width=W, height=H,
+                        trilinear=False)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_engine_detects_trilinear_statically():
+    from tpu_renderer.config import RendererConfig
+    from tpu_renderer.engine import Engine
+    from tpu_renderer.resources import (
+        FILTER_MAG_LINEAR, FILTER_MIN_LINEAR, FILTER_MIP_LINEAR)
+
+    tex = np.full((8, 8, 4), 200, np.uint8)
+    tri_flags = FILTER_MAG_LINEAR | FILTER_MIN_LINEAR | FILTER_MIP_LINEAR
+    for flags, mipped, expect in (
+            (0, True, False),                      # nearest-everything
+            (tri_flags, False, False),             # trilinear sampler, 1 level
+            (tri_flags, True, True)):              # trilinear + mip chain
+        scene = milestones.textured_quad_scene(tex, mipmapped=mipped)
+        scene.materials[-1].filter_flags = flags
+        eng = Engine(RendererConfig(width=64, height=32,
+                                    **milestones.UNLIT_CONFIG_OVERRIDES))
+        eng.init(scene=scene)
+        assert eng._trilinear == expect, (flags, mipped, eng._trilinear)

@@ -25,6 +25,7 @@ from tpu_renderer.camera import Camera
 from tpu_renderer.config import RendererConfig
 from tpu_renderer.pipeline import FrameParams, render_frame  # noqa: F401
 from tpu_renderer.kernels import raster
+from tpu_renderer.resources import FILTER_MIP_LINEAR
 
 
 @dataclasses.dataclass
@@ -85,6 +86,13 @@ class Engine:
         # once — fetching the mask arrays per frame is host-transfer waste)
         self._n_transp_draws = int(np.sum(~np.asarray(b.draw_opaque_mask)))
         self._n_transp_tris = int(np.sum(np.asarray(b.transp_tri_valid)))
+        # static: does ANY material trilinear-blend two mip levels? If not,
+        # the shade stage drops its second tap gather entirely (~8-25 ms at
+        # 1080p — see shade.sample_texture)
+        mm = np.asarray(b.mat_meta)
+        self._trilinear = bool(np.any(
+            (mm[:, 4] > 1)
+            & (mm[:, 5].astype(np.int32) & FILTER_MIP_LINEAR).astype(bool)))
 
     # -- per-frame ------------------------------------------------------------
 
@@ -142,6 +150,7 @@ class Engine:
             fp16=cfg.framebuffer_fp16,
             transp_textured=self._transp_textured(),
             fused=cfg.fused,
+            trilinear=self._trilinear,
             **self._extents(),
             **self._caps,
         )

@@ -137,9 +137,25 @@ def _sample_level(atlas, base_x, base_y, w0, h0, level, u, v, linear,
     return tuple(out)
 
 
-def sample_texture(atlas, base_x, base_y, w0, h0, n_levels, flags, u, v):
+def sample_texture(atlas, base_x, base_y, w0, h0, n_levels, flags, u, v,
+                   trilinear: bool = True):
     """Full sampler: LOD from quad derivatives, trilinear/nearest filtering,
-    REPEAT wrap — two taps max. Planar in, (r, g, b) planes out."""
+    REPEAT wrap — two taps max. Planar in, (r, g, b) planes out.
+
+    trilinear=False is a STATIC fast path for scenes where no sampler mixes
+    two mip levels (no FILTER_MIP_LINEAR material with a mipmapped
+    texture): the per-pixel mip fraction is provably 0, so the second tap's
+    whole-frame gather (~8-25 ms at 1080p by the measured cost model) is
+    skipped entirely. Results are bit-identical to the two-tap path.
+
+    Known divergence from hardware (documented, not fixed): the quad
+    derivatives difference NEIGHBORING PIXELS' interpolated uv planes; at
+    primitive silhouettes and material boundaries the 2x2 quad spans
+    different primitives (or background zeros), so edge pixels can select
+    a coarser mip than a GPU would (hardware helper invocations extrapolate
+    the SAME primitive). A faithful fix needs per-triangle uv-gradient
+    constants carried through the raster (6 more row columns/planes).
+    """
     fl = flags.astype(jnp.int32)
     dudx = _quad_derivative(u, 1)
     dudy = _quad_derivative(u, 0)
@@ -172,6 +188,8 @@ def sample_texture(atlas, base_x, base_y, w0, h0, n_levels, flags, u, v):
     # for pixels whose mip fraction is 0 (mip-nearest samplers, magnified or
     # exactly-on-level pixels): its result is multiplied by 0 anyway.
     ca = _sample_level(atlas, base_x, base_y, w0, h0, lev_a, u, v, linear)
+    if not trilinear:
+        return ca
     cb = _sample_level(atlas, base_x, base_y, w0, h0, lev_b, u, v, linear,
                        active=frac > 0.0)
     inv = 1.0 - frac
@@ -179,7 +197,8 @@ def sample_texture(atlas, base_x, base_y, w0, h0, n_levels, flags, u, v):
 
 
 def light_and_texture(normal, color_in, uv, texmeta, atlas, ambient_rgb,
-                      sun_dir, sun_power, textured: bool = True):
+                      sun_dir, sun_power, textured: bool = True,
+                      trilinear: bool = True):
     """mesh.frag:12-19 given already-interpolated attribute PLANES.
 
     normal: (nx, ny, nz) planes; color_in: (r, g, b) planes; uv: (u, v)
@@ -189,7 +208,8 @@ def light_and_texture(normal, color_in, uv, texmeta, atlas, ambient_rgb,
     nx, ny, nz = normal
     if textured:
         tex = sample_texture(atlas, texmeta[0], texmeta[1], texmeta[2],
-                             texmeta[3], texmeta[4], texmeta[5], uv[0], uv[1])
+                             texmeta[3], texmeta[4], texmeta[5], uv[0], uv[1],
+                             trilinear=trilinear)
     else:
         tex = (None, None, None)
     # mesh.frag:13 — light = max(dot(N, sunlight_direction.xyz), 0.1);
@@ -208,7 +228,7 @@ def light_and_texture(normal, color_in, uv, texmeta, atlas, ambient_rgb,
 
 
 def shade_fused(attrs, meta, atlas, ambient_rgb, sun_dir, sun_power,
-                textured: bool = True):
+                textured: bool = True, trilinear: bool = True):
     """Shade from the fused raster outputs (no per-pixel row gather).
 
     attrs: (8, Hp, Wp) interpolated normal/rgb/uv planes;
@@ -218,12 +238,13 @@ def shade_fused(attrs, meta, atlas, ambient_rgb, sun_dir, sun_power,
     r, g, b = light_and_texture(
         (attrs[0], attrs[1], attrs[2]), (attrs[3], attrs[4], attrs[5]),
         (attrs[6], attrs[7]), tuple(meta[m] for m in range(6)),
-        atlas, ambient_rgb, sun_dir, sun_power, textured=textured)
+        atlas, ambient_rgb, sun_dir, sun_power, textured=textured,
+        trilinear=trilinear)
     return jnp.stack([r, g, b])
 
 
 def shade_core(t, shade_rows, atlas, ambient_rgb, sun_dir, sun_power,
-               textured: bool = True):
+               textured: bool = True, trilinear: bool = True):
     """mesh.frag for per-pixel triangle index t (clamped valid index; pixels
     whose t is a placeholder produce garbage the caller masks).
     Returns (3, H, W) f32 linear rgb.
@@ -251,11 +272,13 @@ def shade_core(t, shade_rows, atlas, ambient_rgb, sun_dir, sun_power,
     r, gg, b = light_and_texture(
         (interp[0], interp[1], interp[2]), (interp[3], interp[4], interp[5]),
         (interp[6], interp[7]), tuple(g[..., C_TEX + m] for m in range(6)),
-        atlas, ambient_rgb, sun_dir, sun_power, textured=textured)
+        atlas, ambient_rgb, sun_dir, sun_power, textured=textured,
+        trilinear=trilinear)
     return jnp.stack([r, gg, b])
 
 
-def shade(tid, shade_rows, atlas, ambient_rgb, sun_dir, sun_power, background):
+def shade(tid, shade_rows, atlas, ambient_rgb, sun_dir, sun_power,
+          background, trilinear: bool = True):
     """Opaque pass: mesh.frag over the visibility buffer.
 
     tid: (Hp, Wp) i32 visibility buffer (-1 = background)
@@ -265,14 +288,15 @@ def shade(tid, shade_rows, atlas, ambient_rgb, sun_dir, sun_power, background):
     """
     valid = tid >= 0
     t = jnp.where(valid, tid, 0)
-    out_rgb = shade_core(t, shade_rows, atlas, ambient_rgb, sun_dir, sun_power)
+    out_rgb = shade_core(t, shade_rows, atlas, ambient_rgb, sun_dir,
+                         sun_power, trilinear=trilinear)
     rgb = jnp.where(valid[None, :, :], out_rgb, background[:3])
     alpha = jnp.where(valid, jnp.float32(1.0), background[3])
     return jnp.concatenate([rgb, alpha[None]], axis=0)
 
 
 def blend_layer(fb, tid, shade_rows, atlas, ambient_rgb, sun_dir, sun_power,
-                textured: bool = True):
+                textured: bool = True, trilinear: bool = True):
     """Transparent additive blend of one peeled layer into the framebuffer.
 
     Blend state from enable_blending_additive (vk_pipelines.cpp:157-167):
@@ -283,7 +307,7 @@ def blend_layer(fb, tid, shade_rows, atlas, ambient_rgb, sun_dir, sun_power,
     found = tid >= 0
     t = jnp.where(found, tid, 0)
     src = shade_core(t, shade_rows, atlas, ambient_rgb, sun_dir, sun_power,
-                     textured=textured)
+                     textured=textured, trilinear=trilinear)
     dst_rgb = fb[:3]
     dst_a = fb[3]
     rgb = jnp.where(found[None], src + dst_rgb * dst_a[None], dst_rgb)

@@ -105,13 +105,14 @@ def _background(params: FrameParams, hp: int, wp: int, height: int):
     jax.jit,
     static_argnames=("width", "height", "tile_h", "tile_w",
                      "bin_cap", "tri_cap", "fp16", "transp_textured",
-                     "fused", "out_width", "out_height"),
+                     "fused", "trilinear", "out_width", "out_height"),
 )
 def render_frame(buffers: SceneBuffers, params: FrameParams, *,
                  width: int, height: int, tile_h: int = 32, tile_w: int = 128,
                  bin_cap: int = 512,
                  tri_cap: int = 1024, fp16: bool = True,
                  transp_textured: bool = True, fused: bool = True,
+                 trilinear: bool = True,
                  out_width: int = None, out_height: int = None,
                  bg_fb=None):
     """Render one frame. Returns ((H, W) uint32 packed-RGBA image — see
@@ -183,7 +184,8 @@ def render_frame(buffers: SceneBuffers, params: FrameParams, *,
             valid = tid >= 0
             shaded = shade.shade_fused(
                 attrs_px, meta_px, buffers.atlas, params.ambient[:3],
-                params.sun_dir[:3], params.sun_color[3])
+                params.sun_dir[:3], params.sun_color[3],
+                trilinear=trilinear)
             rgb = jnp.where(valid[None], shaded, fb[:3])
             alpha = jnp.where(valid, jnp.float32(1.0), fb[3])
             fb = q(jnp.concatenate([rgb, alpha[None]], axis=0))
@@ -199,7 +201,8 @@ def render_frame(buffers: SceneBuffers, params: FrameParams, *,
                 tiles_x=tiles_x, tiles_y=tiles_y, tile_w=tile_w, tile_h=tile_h)
             fb = q(shade.shade(
                 tid, rows, buffers.atlas, params.ambient[:3],
-                params.sun_dir[:3], params.sun_color[3], fb))
+                params.sun_dir[:3], params.sun_color[3], fb,
+                trilinear=trilinear))
         aux["bin_overflow"] = overflow_c
         aux["bin_overflow_tris"] = overflow_t
         aux["opaque_triangles"] = jnp.sum(
@@ -282,7 +285,7 @@ def render_frame(buffers: SceneBuffers, params: FrameParams, *,
                     src = shade.shade_fused(
                         attrs_px, meta_px, buffers.atlas, params.ambient[:3],
                         params.sun_dir[:3], params.sun_color[3],
-                        textured=transp_textured)
+                        textured=transp_textured, trilinear=trilinear)
                     # additive blend (vk_pipelines.cpp:157-167)
                     rgb = jnp.where(found[None], src + fb[:3] * fb[3][None], fb[:3])
                     alpha = jnp.where(found, jnp.float32(1.0), fb[3])
@@ -296,7 +299,7 @@ def render_frame(buffers: SceneBuffers, params: FrameParams, *,
                     fb = q(shade.blend_layer(
                         fb, tid_layer, rows_t, buffers.atlas,
                         params.ambient[:3], params.sun_dir[:3], params.sun_color[3],
-                        textured=transp_textured))
+                        textured=transp_textured, trilinear=trilinear))
                 last = jnp.where(found, layer, raster.ID_INF)
                 return fb, last, found.any()
 
@@ -330,7 +333,7 @@ def render_frame(buffers: SceneBuffers, params: FrameParams, *,
     jax.jit,
     static_argnames=("width", "height", "tile_h", "tile_w",
                      "bin_cap", "tri_cap", "fp16", "transp_textured",
-                     "fused", "out_width", "out_height"),
+                     "fused", "trilinear", "out_width", "out_height"),
 )
 def render_frames(buffers: SceneBuffers, params_batch: FrameParams, **kw):
     """Render a whole batch of frames in ONE device program (lax.scan) —

@@ -30,7 +30,7 @@ placeholder (vk_loader.cpp:224-229).
 
 from __future__ import annotations
 
-from typing import List, NamedTuple, Optional
+from typing import List, NamedTuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -133,27 +133,20 @@ class TextureAtlas(NamedTuple):
     width: int               # WA (static)
     tex_meta: jnp.ndarray    # (n_tex, 6) i32 — base_x, base_y, w0, h0,
     #                          n_levels, 0 (spare)
-    # (Measured dead end, kept for the record: a 16-u32 "trilinear row"
-    # variant served both mip taps from ONE gather, but 64 B-row gathers cost
-    # ~4x two 16 B-row gathers on this hardware — 184 ms vs 85 ms frames.
-    # Gather cost scales with row bytes beyond ~16 B; see docs/PERF.md.)
-    tri_quads: Optional[jnp.ndarray] = None
 
 
-def build_atlas(images: List[np.ndarray], mipmapped=None,
-                atlas_width: int = 4096) -> TextureAtlas:
-    """Shelf-pack textures as analytic mip strips into one quad atlas.
+def build_atlas(images: List[np.ndarray], mipmapped=None) -> TextureAtlas:
+    """Shelf-pack textures as analytic packed-pyramid strips into one quad
+    atlas. The atlas width is the power-of-two cover of the widest strip.
 
     images: list of (h, w, 4) uint8. mipmapped: per-texture bools (or one
-    bool / None = all mipmapped). atlas_width caps the atlas width (the
-    actual width is the power-of-two cover of the widest mip strip).
+    bool / None = all mipmapped).
     """
     assert images, "atlas needs at least one image"
     n = len(images)
-    if mipmapped is None or mipmapped is True:
-        mipmapped = [True] * n
-    elif mipmapped is False:
-        mipmapped = [False] * n
+    if mipmapped is None or not hasattr(mipmapped, "__len__"):
+        mipmapped = [bool(mipmapped) if mipmapped is not None else True] * n
+    assert len(mipmapped) == n, "one mipmapped flag per image"
 
     chains = []
     meta = np.zeros((n, 6), np.int32)
