@@ -37,10 +37,11 @@ def scenes():
     yield "textured", milestones.textured_quad_scene(checker_texture(32, 4)), {}
 
 
-def render_structure_1080p():
+def render_structure(width: int, height: int):
     """Flagship full-scene golden: the structure scene through the whole
-    loader + engine path at full 1080p (the reference's structure.glb flow,
-    vk_engine.cpp:196-200)."""
+    loader + engine path (the reference's structure.glb flow,
+    vk_engine.cpp:196-200). The 1080p variant is the slow-tier golden; the
+    480x270 one covers the same path in the fast tier."""
     import tempfile
 
     from tpu_renderer.config import RendererConfig
@@ -49,7 +50,7 @@ def render_structure_1080p():
 
     path = os.path.join(tempfile.gettempdir(), "structure_golden.glb")
     build_structure_glb(path, seed=0)
-    cfg = RendererConfig(width=1920, height=1080, background_effect=1,
+    cfg = RendererConfig(width=width, height=height, background_effect=1,
                          camera_position=(0.0, 10.0, 42.0))
     eng = Engine(cfg)
     eng.camera.pitch = np.float32(-0.18)
@@ -57,13 +58,18 @@ def render_structure_1080p():
     return np.asarray(eng.draw(hud=False))
 
 
-def render_all():
+def render_fast():
     from tests.test_pipeline_golden import render
 
     for name, scene, kw in scenes():
         img, _ = render(scene, **kw)
         yield name, np.asarray(img)
-    yield "structure_1080p", render_structure_1080p()
+    yield "structure_480p", render_structure(480, 270)
+
+
+def render_all():
+    yield from render_fast()
+    yield "structure_1080p", render_structure(1920, 1080)
 
 
 if __name__ == "__main__":

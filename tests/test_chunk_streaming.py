@@ -3,6 +3,10 @@ reference kernels exactly — the latter stay as correctness oracles."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
+
+# interpret-mode tracing of the column walker dominates the suite runtime
+pytestmark = pytest.mark.slow
 
 from tpu_renderer import milestones
 from tpu_renderer.kernels import raster, shade, vertex

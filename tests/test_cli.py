@@ -1,11 +1,13 @@
 """CLI command smoke tests (main.cpp analog entry points)."""
 
 import numpy as np
+import pytest
 
 from tpu_renderer import cli
 from tpu_renderer.present import load_png
 
 
+@pytest.mark.slow
 def test_demo_command(tmp_path):
     out = str(tmp_path / "demo.png")
     rc = cli.main(["demo", "--grid", "2", "--width", "256", "--height", "64",
@@ -16,6 +18,7 @@ def test_demo_command(tmp_path):
     assert len(np.unique(img.reshape(-1, 4), axis=0)) > 10
 
 
+@pytest.mark.slow
 def test_milestone_command(tmp_path):
     out = str(tmp_path / "tri.png")
     rc = cli.main(["milestone", "colored_triangle", "--width", "128",

@@ -1,6 +1,7 @@
 """Engine façade: init/run/draw loop, camera interaction, stats, resize."""
 
 import numpy as np
+import pytest
 
 from tpu_renderer.config import RendererConfig
 from tpu_renderer.engine import Engine
@@ -44,6 +45,7 @@ def test_run_loop_with_camera_input(tmp_path):
     assert eng.camera.position[2] != 12.0 or eng.camera.yaw != 0.0
 
 
+@pytest.mark.slow
 def test_resize_rejits(tmp_path):
     eng = _engine(tmp_path)
     eng.draw()
@@ -103,6 +105,7 @@ def test_animated_node_transforms(tmp_path):
     assert not np.array_equal(img0, img1)
 
 
+@pytest.mark.slow
 def test_dense_scene_never_overflows():
     """A scene whose per-tile chunk count exceeds the old default bin_cap
     renders completely in one draw: the fused path walks UNCAPPED slab bins,
@@ -145,6 +148,7 @@ def test_dense_scene_never_overflows():
     assert img[16, 64][1] > 150
 
 
+@pytest.mark.slow
 def test_render_scale_upscale_blit():
     """render_scale < 1 draws at the scaled extent and linear-blits up to
     the window extent (the reference's _render_scale path made live,
@@ -179,6 +183,7 @@ def test_render_scale_upscale_blit():
     np.testing.assert_allclose(imgs[0.5][64, 128], imgs[1.0][64, 128], atol=30)
 
 
+@pytest.mark.slow
 def test_render_scale_supersampling():
     """render_scale > 1 = SSAA: draw at 2x, linear-blit down. Edges must
     come out smoother (more intermediate values) than the native render."""

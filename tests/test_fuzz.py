@@ -6,6 +6,8 @@ fastgltf tolerates for the reference (vk_loader.cpp:169-191, 286-358)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from tpu_renderer import gltf
 from tpu_renderer.config import RendererConfig
 from tpu_renderer.engine import Engine

@@ -27,7 +27,8 @@ def _params(**kw):
     return FrameParams(**d)
 
 
-@pytest.mark.parametrize("fused", [True, False])
+@pytest.mark.parametrize(
+    "fused", [pytest.param(True, marks=pytest.mark.slow), False])
 @pytest.mark.parametrize("rows,tri", [(2, 1), (1, 2), (2, 4)])
 def test_multichip_matches_single_chip(rows, tri, fused):
     if len(jax.devices()) < rows * tri:
@@ -44,6 +45,7 @@ def test_multichip_matches_single_chip(rows, tri, fused):
     np.testing.assert_array_equal(np.asarray(multi), np.asarray(single))
 
 
+@pytest.mark.slow
 def test_multichip_transparent():
     if len(jax.devices()) < 4:
         pytest.skip("not enough devices")
@@ -62,6 +64,7 @@ def test_multichip_transparent():
     np.testing.assert_array_equal(np.asarray(multi), np.asarray(single))
 
 
+@pytest.mark.slow
 def test_multichip_stacked_transparent_layers():
     """3 stacked glass layers: the psum'd accumulation must match the
     single-chip sum (f32 association differs across shards: 1 u8 step)."""
@@ -90,7 +93,8 @@ def test_multichip_stacked_transparent_layers():
     assert diff.max() <= 1, f"max u8 diff {diff.max()}"
 
 
-@pytest.mark.parametrize("fused", [True, False])
+@pytest.mark.parametrize(
+    "fused", [pytest.param(True, marks=pytest.mark.slow), False])
 def test_multichip_textured_transparent_unbounded(fused):
     """Textured-transparent goes through the per-shard peel while_loop
     (fused=True: the chunk-streaming slab peel; False: the deferred one)."""

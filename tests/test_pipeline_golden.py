@@ -5,6 +5,7 @@ texture sampling exactness, additive transparency, and determinism.
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tpu_renderer import milestones
 from tpu_renderer.pipeline import FrameParams, render_frame
@@ -55,6 +56,7 @@ def test_colored_triangle():
     assert abs(int(c[0]) - int(c[1])) < 60
 
 
+@pytest.mark.slow
 def test_depth_reversed_z_between_quads():
     """Milestone 3: two quads; reversed-Z GREATER_OR_EQUAL — larger z wins."""
     near = milestones.colored_quad_scene(z0=0.8, z1=0.8)   # nearer
@@ -141,6 +143,7 @@ def test_transparent_layers_accumulate():
     np.testing.assert_allclose(center[:3], [0.5, 0.5, 0.5], atol=2 / 255)
 
 
+@pytest.mark.slow
 def test_six_transparent_layers_unbounded_sum():
     """Six stacked glass quads all blend (reference blends EVERY transparent
     fragment, vk_engine.cpp:1459-1465 — no layer cap may drop the 3rd+)."""
@@ -222,6 +225,7 @@ def test_fused_transparent_matches_deferred():
     assert diff.max() <= 1, f"max u8 diff {diff.max()}"
 
 
+@pytest.mark.slow
 def test_nearest_mip_scene_single_tap_identical():
     """Scenes with no trilinear sampler render bit-identically with the
     static single-tap fast path (trilinear=False drops the second mip-tap
