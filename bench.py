@@ -91,20 +91,47 @@ def _run() -> int:
     # host either) — keep it out of the timed region
     final = np.asarray(image)
 
-    # Interactive mode: the reference's live loop analog — per-frame host
-    # camera update + dispatch + a forced device sync every frame. In this
-    # environment every sync is a multi-ms tunnel round trip (a directly
-    # attached TPU pays microseconds), so this bounds the scan number from
-    # below rather than replacing it.
-    import jax.numpy as _jnp
+    # Trilinear variant: the same scene with LINEAR_MIPMAP_LINEAR samplers —
+    # the reference loader's DEFAULT mipmap mode (vk_loader.cpp:43-54) — so
+    # both mip taps are paid per pixel (the 2-tap wall, docs/PERF.md).
+    tri_path = os.path.join(tempfile.gettempdir(),
+                            f"bench_scene_{grid}_tri.glb")
+    if not os.path.exists(tri_path):
+        build_demo_glb(tri_path, grid=grid, seed=0, trilinear=True)
+    eng_t = Engine(cfg)
+    eng_t.camera.pitch = np.float32(-0.18)
+    eng_t.init(scene_path=tri_path)
+    assert eng_t._trilinear, "trilinear variant must detect 2-tap samplers"
+    param_list_t = []
+    for i in range(frames):
+        eng_t.camera.yaw = np.float32(0.002 * i)
+        param_list_t.append(eng_t.update_scene())
+    jax.block_until_ready(param_list_t)
+    stacked_t = jax.tree.map(lambda *xs: jnp.stack(xs), *param_list_t)
+    kw_t = dict(kw, transp_textured=eng_t._transp_textured(),
+                trilinear=True)
+    image_t, sums_t = render_frames(eng_t.flat.buffers, stacked_t, **kw_t)
+    _ = np.asarray(sums_t)
+    t2 = time.perf_counter()
+    image_t, sums_t = render_frames(eng_t.flat.buffers, stacked_t, **kw_t)
+    _ = np.asarray(sums_t)
+    fps_tri = frames / (time.perf_counter() - t2)
 
+    # Interactive mode: the reference's live loop analog — per-frame host
+    # camera update + dispatch, presenting with FRAME_OVERLAP frames in
+    # flight (draw_pipelined: the frame shown each iteration was submitted
+    # 2 calls ago, its host transfer overlapping the newer frames' device
+    # compute — vk_engine.h:77 / vk_engine.cpp:1226-1240). Every host fetch
+    # is still a tunnel round trip in this environment (a directly attached
+    # TPU pays microseconds), so this bounds the scan number from below
+    # rather than replacing it.
     t1 = time.perf_counter()
     for i in range(frames):
         eng.camera.yaw = np.float32(0.002 * i)
-        img_dev, aux = eng.draw_device(eng.update_scene())
-        float(_jnp.sum((img_dev[::191, ::127] & 0xFF).astype(_jnp.int32)))
+        img = eng.draw_pipelined(stats_interval=0)
+    eng.flush_pipelined()
     dt_inter = time.perf_counter() - t1
-    eng._update_stats(aux)
+    eng._update_stats(eng._last_aux)
 
     fps = frames / dt
     result = {
@@ -114,6 +141,8 @@ def _run() -> int:
         "vs_baseline": round(fps / 60.0, 3),
         "detail": {
             "frame_ms": round(1000 * dt / frames, 2),
+            "trilinear_fps": round(fps_tri, 2),
+            "trilinear_frame_ms": round(1000 / fps_tri, 2),
             "interactive_fps": round(frames / dt_inter, 2),
             "interactive_frame_ms": round(1000 * dt_inter / frames, 2),
             "triangles": eng.stats.triangle_count,

@@ -54,12 +54,14 @@ def _multi_quad_scene(n=7):
 def test_chunk_raster_matches_gathered_reference():
     s, rows, cbins, ccounts = _setup(_multi_quad_scene())
     bins, counts, _ = raster.refine_bins(cbins, s.aabb, tri_cap=256, **KW)
-    z1, t1, a1, m1 = raster.rasterize_fused(rows, bins, counts, **KW)
-    z2, t2, a2, m2 = raster.rasterize_fused_chunks(rows, cbins, ccounts, **KW)
+    z1, t1, a1, m1, i1 = raster.rasterize_fused(rows, bins, counts, **KW)
+    z2, t2, a2, m2, i2 = raster.rasterize_fused_chunks(rows, cbins, ccounts,
+                                                       **KW)
     np.testing.assert_array_equal(np.asarray(z1), np.asarray(z2))
     np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
     np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
     np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
 
 
 def test_chunk_accum_matches_gathered_reference():
@@ -97,14 +99,16 @@ def test_slab_raster_matches_single_call():
     equal the one-shot chunk raster bit-for-bit."""
     s, rows, cbins, ccounts, bins_full, counts_full = _full_setup(
         _multi_quad_scene(40))
-    z1, t1, a1, m1 = raster.rasterize_fused_chunks(rows, cbins, ccounts, **KW)
+    z1, t1, a1, m1, i1 = raster.rasterize_fused_chunks(rows, cbins, ccounts,
+                                                       **KW)
     assert counts_full.max() > 8  # the tiny slab width below must split
-    z2, t2, a2, m2 = raster.rasterize_fused_slabs(
+    z2, t2, a2, m2, i2 = raster.rasterize_fused_slabs(
         rows, bins_full, counts_full, slab_cap=8, **KW)
     np.testing.assert_array_equal(np.asarray(z1), np.asarray(z2))
     np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
     np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
     np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
 
 
 def test_slab_accum_matches_single_call():
@@ -135,13 +139,15 @@ def test_slab_peel_matches_gathered_reference():
     last1 = jnp.full((hp, wp), -1, jnp.int32)
     last2 = jnp.full((hp, wp), -1, jnp.int32)
     for _ in range(3):
-        l1, a1, m1 = raster.rasterize_peel_fused(rows, bins_t, counts_t, z,
-                                                 last1, **KW)
-        l2, a2, m2 = raster.rasterize_peel_slabs(rows, bins_full, counts_full,
-                                                 z, last2, slab_cap=8, **KW)
+        l1, a1, m1, i1 = raster.rasterize_peel_fused(rows, bins_t, counts_t,
+                                                     z, last1, **KW)
+        l2, a2, m2, i2 = raster.rasterize_peel_slabs(rows, bins_full,
+                                                     counts_full, z, last2,
+                                                     slab_cap=8, **KW)
         np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
         np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
         np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
         f1 = l1 < raster.ID_INF
         last1 = jnp.where(f1, l1, raster.ID_INF)
         last2 = jnp.where(l2 < raster.ID_INF, l2, raster.ID_INF)

@@ -85,14 +85,14 @@ def main():
         ccounts = jnp.minimum(counts_full, cap8)
 
         def capped(rows48, cbins=cbins, ccounts=ccounts):
-            z, tid, a, m = raster.rasterize_fused_chunks(rows48, cbins,
+            z, tid, a, m, _i = raster.rasterize_fused_chunks(rows48, cbins,
                                                          ccounts, **kw)
             return jnp.sum(z) + jnp.sum(a[0]) + jnp.sum(m[0])
 
         timeit(f"fused_chunks capped {cap8}", capped, rows48)
 
     def slabs(rows48):
-        z, tid, a, m = raster.rasterize_fused_slabs(rows48, bins_full,
+        z, tid, a, m, _i = raster.rasterize_fused_slabs(rows48, bins_full,
                                                     counts_full, **kw)
         return jnp.sum(z) + jnp.sum(a[0]) + jnp.sum(m[0])
 

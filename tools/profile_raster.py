@@ -113,7 +113,7 @@ def main():
     timeit("B visibility raster", vis_raster, packed16, bins, counts)
 
     def fused_raster(rows48, bins, counts):
-        z, tid, a, m = raster.rasterize_fused(
+        z, tid, a, m, _i = raster.rasterize_fused(
             rows48, bins, counts, tiles_x=tiles_x, tiles_y=tiles_y,
             tile_w=128, tile_h=32)
         return jnp.sum(z) + jnp.sum(a[0]) + jnp.sum(m[0])

@@ -96,7 +96,7 @@ def main():
                 buffers.opaque_tri_vidx, buffers.opaque_tri_draw,
                 buffers.opaque_tri_valid, buffers.draw_model, vis,
                 buffers.draw_mat, buffers.mat_color_factors, viewproj,
-                width, height)
+                width, height, sun_dir=params.sun_dir[:3])
             if upto == 1:
                 return checksum(setup.packed) + checksum(setup.attrs)
 
@@ -112,7 +112,7 @@ def main():
 
             rows = shade.build_shade_rows(setup.packed, setup.attrs,
                                           buffers.mat_meta)
-            z, tid, attrs_px, meta_px = raster.rasterize_fused_slabs(
+            z, tid, attrs_px, meta_px, inv_px = raster.rasterize_fused_slabs(
                 rows, cbins, ccounts,
                 tiles_x=tiles_x, tiles_y=tiles_y, tile_w=tile_w, tile_h=tile_h)
             if upto == 4:
@@ -120,7 +120,7 @@ def main():
 
             valid = tid >= 0
             shaded = shade.shade_fused(
-                attrs_px, meta_px, buffers.atlas, params.ambient[:3],
+                attrs_px, meta_px, inv_px, buffers.atlas, params.ambient[:3],
                 params.sun_dir[:3], params.sun_color[3],
                 trilinear=eng._trilinear)
             rgb = jnp.where(valid[None], shaded, fb[:3])
@@ -136,7 +136,7 @@ def main():
                 buffers.transp_tri_valid, buffers.draw_model,
                 jnp.ones_like(vis),
                 buffers.draw_mat, buffers.mat_color_factors, viewproj,
-                width, height)
+                width, height, sun_dir=params.sun_dir[:3])
             caabb_t, cvalid_t = raster.chunk_aabbs(setup_t.aabb, setup_t.valid)
             cbins_t, ccounts_t = raster.bin_triangles_full(
                 caabb_t, cvalid_t, tiles_x=tiles_x, tiles_y=tiles_y,

@@ -103,7 +103,7 @@ def main():
             cbins, ccounts, ov = raster.bin_triangles(
                 caabb, cvalid, tiles_x=_tx, tiles_y=_ty,
                 tile_w=128, tile_h=_th, bin_cap=_cap)
-            z, tid, a, m = raster.rasterize_fused_chunks(
+            z, tid, a, m, _i = raster.rasterize_fused_chunks(
                 rows48, cbins, ccounts, tiles_x=_tx, tiles_y=_ty,
                 tile_w=128, tile_h=_th)
             return jnp.sum(z) + jnp.sum(a[0]) + jnp.sum(m[0]) + ov

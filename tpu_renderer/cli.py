@@ -51,7 +51,7 @@ def _make_engine(args, camera_default=(30.0, 0.0, -85.0)) -> Engine:
 
 def cmd_render(args) -> int:
     eng = _make_engine(args)
-    eng.init(scene_path=args.scene)
+    eng.init(scene_path=args.scene, variant=args.variant)
     img = eng.draw()
     save_png(img, args.out)
     print(f"wrote {args.out}  ({eng.stats.triangle_count} tris, "
@@ -209,6 +209,8 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("render", help="render a glTF/GLB scene to PNG")
     p.add_argument("scene")
+    p.add_argument("--variant", default=None,
+                   help="KHR_materials_variants selection (name or index)")
     _add_common(p)
     p.set_defaults(fn=cmd_render)
 

@@ -55,11 +55,12 @@ class Engine:
     # -- init (vk_engine.cpp:171-201) ---------------------------------------
 
     def init(self, scene_path: Optional[str] = None,
-             scene: Optional[scene_mod.LoadedScene] = None) -> None:
+             scene: Optional[scene_mod.LoadedScene] = None,
+             variant=None) -> None:
         if scene is not None:
             self.scene = scene
         elif scene_path is not None:
-            self.scene = scene_mod.load_scene(scene_path)
+            self.scene = scene_mod.load_scene(scene_path, variant=variant)
         else:
             # empty scene: background only
             self.scene = scene_mod.LoadedScene()
@@ -166,8 +167,12 @@ class Engine:
         s = cfg.render_scale
         if s == 1.0:
             return dict(width=cfg.width, height=cfg.height)
-        return dict(width=max(1, int(round(cfg.width * s))),
-                    height=max(1, int(round(cfg.height * s))),
+        # derive the height from the EFFECTIVE width scale so non-round
+        # scales can't break the aspect ratio (independent rounding of both
+        # dims stretched the blit by up to ~1 px worth of anisotropy)
+        w = max(1, int(round(cfg.width * s)))
+        h = max(1, int(round(cfg.height * w / cfg.width)))
+        return dict(width=w, height=h,
                     out_width=cfg.width, out_height=cfg.height)
 
     def draw(self, with_stats: bool = True, hud: bool = False) -> np.ndarray:
@@ -201,6 +206,64 @@ class Engine:
 
             out = out.copy()
             draw_stats(out, self.stats)
+        return out
+
+    # -- pipelined interactive path (FRAME_OVERLAP analog) -------------------
+
+    FRAME_OVERLAP = 3  # frames in flight (vk_engine.h:77)
+
+    def draw_pipelined(self, hud: bool = False,
+                       stats_interval: int = 30):
+        """Render one frame with FRAME_OVERLAP frames in flight; returns the
+        host image of the frame submitted FRAME_OVERLAP-1 calls ago (None
+        while the pipeline fills).
+
+        The reference never presents the frame it just recorded either — it
+        keeps 3 frames in flight and blocks only on the fence 3 frames back
+        (vk_engine.cpp:1226-1240). Here: dispatch frame N, start its async
+        device->host copy, then consume frame N-2's (already-transferred)
+        image — the host transfer of one frame overlaps the device compute
+        of the next two. Stats (one small device fetch) refresh every
+        `stats_interval` frames instead of every frame; on the deferred path
+        that delays overflow-escalation by up to an interval (the default
+        fused path cannot overflow).
+        """
+        from collections import deque
+
+        from tpu_renderer.present import unpack_u8
+
+        if not hasattr(self, "_inflight"):
+            self._inflight = deque()
+        t0 = time.perf_counter()
+        params = self.update_scene()
+        image, aux = self.draw_device(params)
+        try:
+            image.copy_to_host_async()
+        except Exception:  # backend without async host copies
+            pass
+        self._inflight.append((image, aux, self.frame_number))
+        if len(self._inflight) < self.FRAME_OVERLAP:
+            return None
+        img_dev, aux_old, fno = self._inflight.popleft()
+        out = unpack_u8(np.asarray(img_dev))
+        if stats_interval and (fno - 1) % stats_interval == 0:
+            self._update_stats(aux_old)
+        self.stats.mesh_draw_time = (time.perf_counter() - t0) * 1000.0
+        if hud:
+            from tpu_renderer.hud import draw_stats
+
+            out = out.copy()
+            draw_stats(out, self.stats)
+        return out
+
+    def flush_pipelined(self):
+        """Drain in-flight frames (end of an interactive session)."""
+        from tpu_renderer.present import unpack_u8
+
+        out = None
+        while getattr(self, "_inflight", None):
+            img_dev, aux, _ = self._inflight.popleft()
+            out = unpack_u8(np.asarray(img_dev))
         return out
 
     def _update_stats(self, aux) -> None:

@@ -29,6 +29,10 @@ Parsing semantics mirror the reference loader:
 * KHR_texture_transform is parsed (the reference enables the extension,
   vk_loader.cpp:169-171) and — beyond the reference, whose shader ignores
   it — baked into the primitive's uvs
+* KHR_materials_variants is parsed (variant names + per-primitive material
+  mappings — the reference enables it in fastgltf, vk_loader.cpp:169-191);
+  the default render uses the primitive's base material like the reference,
+  and scene.select_variant switches materials by variant name/index
 """
 
 from __future__ import annotations
@@ -98,6 +102,11 @@ class ParsedSurface:
     material: Optional[int]
     bounds_origin: np.ndarray
     bounds_extents: np.ndarray
+    # KHR_materials_variants: variant index -> material index. The DEFAULT
+    # render uses `material` (the reference enables the extension in fastgltf
+    # but its engine never selects a variant, vk_loader.cpp:169-191); callers
+    # switch via scene.select_variant.
+    variant_materials: Optional[Dict[int, int]] = None
 
 
 @dataclasses.dataclass
@@ -127,6 +136,7 @@ class ParsedGLTF:
     materials: List[ParsedMaterial]
     images: List[Optional[np.ndarray]]  # (h, w, 4) u8, None = failed to load
     samplers: List[ParsedSampler]
+    variants: List[str] = dataclasses.field(default_factory=list)
 
 
 def _filter_flags(mag: int, min_: int) -> int:
@@ -450,6 +460,13 @@ def load_gltf(path: str) -> ParsedGLTF:
                 M = materials[mat_i].uv_transform
                 uv = (uv @ M[:, :2].T + M[:, 2]).astype(np.float32)
 
+            vmap = None
+            mappings = prim.get("extensions", {}).get(
+                "KHR_materials_variants", {}).get("mappings")
+            if mappings:
+                vmap = {v: mp["material"] for mp in mappings
+                        for v in mp.get("variants", [])}
+
             start_index = n_indices
             indices_all.append(idx + np.uint32(n_vertices))
             pos_all.append(pos)
@@ -471,6 +488,7 @@ def load_gltf(path: str) -> ParsedGLTF:
                     material=prim.get("material"),
                     bounds_origin=((mx + mn) / 2).astype(np.float32),
                     bounds_extents=((mx - mn) / 2).astype(np.float32),
+                    variant_materials=vmap,
                 )
             )
 
@@ -502,6 +520,10 @@ def load_gltf(path: str) -> ParsedGLTF:
         has_parent.update(n.children)
     top_nodes = [i for i in range(len(nodes)) if i not in has_parent]
 
+    variants = [v.get("name", str(i)) for i, v in enumerate(
+        gltf.get("extensions", {}).get("KHR_materials_variants", {})
+        .get("variants", []))]
+
     return ParsedGLTF(
         meshes=meshes,
         nodes=nodes,
@@ -509,4 +531,5 @@ def load_gltf(path: str) -> ParsedGLTF:
         materials=materials,
         images=images,
         samplers=samplers,
+        variants=variants,
     )

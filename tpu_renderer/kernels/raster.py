@@ -39,6 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tpu_renderer.kernels.common import cdiv, use_interpret
 from tpu_renderer.kernels import vertex as vx
+from tpu_renderer.kernels.shade import N_ATTR, N_META
 
 DEPTH_CLEAR = 0.0  # vk_initializers.cpp:144 (reversed-Z)
 NO_TRI = -1
@@ -133,6 +134,15 @@ def _dense_sorted_hits(aabb, valid, *, tiles_x: int, tiles_y: int,
     hit = (valid[None, :] & (x0 <= x1)
            & (x0 <= tx) & (x1 >= tx) & (y0 <= ty) & (y1 >= ty))
     counts = jnp.sum(hit.astype(jnp.int32), axis=1)
+    if T < 32767:
+        # the row-wise sort dominates binning cost and scales with key
+        # bytes: chunk ids fit i16 for scenes under ~262k triangles, so
+        # sort half-width keys (misses all collapse to 32767 — their order
+        # is irrelevant, every consumer masks slots beyond counts)
+        slot = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int16)[None, :],
+                                (n_tiles, T))
+        key = jnp.where(hit, slot, jnp.int16(32767))
+        return jax.lax.sort(key, dimension=1).astype(jnp.int32), counts
     slot = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None, :],
                             (n_tiles, T))
     key = jnp.where(hit, slot, slot + T)
@@ -189,6 +199,13 @@ def bin_triangles_full(aabb, valid, *, tiles_x: int, tiles_y: int,
     fixed-width slabs — so the escalate-and-redraw dance is gone
     structurally. The reference's pipeline has no capacity cliff either
     (vkCmdDrawIndexed, vk_engine.cpp:1453).
+
+    Memory envelope: the dense bins are n_tiles x n_chunks i32 (+ the same
+    in sort keys, i16 under 32k chunks) — ~24 MB per million triangles at
+    1080p/32x128 tiles, HBM-resident through the slab walk. A 50M-triangle
+    frame would reach ~1.2 GB; scenes of that class should raster through
+    the capped bin_triangles + engine cap-escalation path instead
+    (config.fused = False).
 
     Returns (bins (n_tiles, Wp) i32 item ids padded with -1,
              counts (n_tiles,) i32 — exact, never clamped).
@@ -565,7 +582,8 @@ def rasterize_reference(packed, width: int, height: int):
 
 
 def _raster_fused_kernel(counts_ref, rows_ref, z_ref, tid_ref, attr_ref,
-                         meta_ref, *, tiles_x: int, tile_h: int, tile_w: int):
+                         meta_ref, inv_ref, *,
+                         tiles_x: int, tile_h: int, tile_w: int):
     i = pl.program_id(0)
     j = pl.program_id(1)
     tile = i * tiles_x + j
@@ -619,13 +637,14 @@ def _raster_fused_kernel(counts_ref, rows_ref, z_ref, tid_ref, attr_ref,
                 c0v, c1v, c2v = covs[u]
                 csum = jnp.where(take, c0v + c1v + c2v, csum)
                 new_nums = []
-                for a in range(8):
-                    num = (c0v * r(13 + a) + c1v * r(21 + a)
-                           + c2v * r(29 + a))
+                for a in range(N_ATTR):
+                    num = (c0v * r(13 + a) + c1v * r(19 + a)
+                           + c2v * r(25 + a))
                     new_nums.append(jnp.where(take, num, nums[a]))
                 nums = tuple(new_nums)
                 metas = tuple(
-                    jnp.where(take, r(37 + m), metas[m]) for m in range(6))
+                    jnp.where(take, r(31 + m), metas[m])
+                    for m in range(N_META))
             return csum, nums, metas
 
         csum, nums, metas = jax.lax.cond(
@@ -636,17 +655,20 @@ def _raster_fused_kernel(counts_ref, rows_ref, z_ref, tid_ref, attr_ref,
     z0 = jnp.full((tile_h, tile_w), DEPTH_CLEAR, jnp.float32)
     tid0 = jnp.full((tile_h, tile_w), NO_TRI, jnp.int32)
     cs0 = jnp.ones((tile_h, tile_w), jnp.float32)
-    nums0 = tuple(jnp.zeros((tile_h, tile_w), jnp.float32) for _ in range(8))
-    metas0 = tuple(jnp.zeros((tile_h, tile_w), jnp.float32) for _ in range(6))
+    nums0 = tuple(jnp.zeros((tile_h, tile_w), jnp.float32)
+                  for _ in range(N_ATTR))
+    metas0 = tuple(jnp.zeros((tile_h, tile_w), jnp.float32)
+                   for _ in range(N_META))
     n4 = (n + _UNROLL - 1) // _UNROLL
     z1, tid1, cs1, nums1, metas1 = jax.lax.fori_loop(
         0, n4, tri_body, (z0, tid0, cs0, nums0, metas0))
     z_ref[:, :] = z1
     tid_ref[:, :] = tid1
     inv = jnp.where(cs1 != 0.0, 1.0 / cs1, 0.0)
-    for a in range(8):
+    inv_ref[:, :] = inv
+    for a in range(N_ATTR):
         attr_ref[a, :, :] = nums1[a] * inv
-    for m in range(6):
+    for m in range(N_META):
         meta_ref[m, :, :] = metas1[m]
 
 
@@ -660,7 +682,8 @@ def rasterize_fused(fat_rows, bins, counts, *, tiles_x: int, tiles_y: int,
 
     fat_rows: (T, 48) f32 (kernels/shade fat-row layout; column 47 is free
     and gets the global triangle id here).
-    Returns (z, tid, attrs (8,Hp,Wp) interpolated, meta (6,Hp,Wp)).
+    Returns (z, tid, attrs (N_ATTR,Hp,Wp) interpolated, meta (N_META,Hp,Wp),
+    inv (Hp,Wp) = 1/csum for the analytic uv gradients).
     """
     T = fat_rows.shape[0]
     n_tiles, bin_cap = bins.shape
@@ -678,14 +701,15 @@ def rasterize_fused(fat_rows, bins, counts, *, tiles_x: int, tiles_y: int,
     hp = tiles_y * tile_h
     wp = tiles_x * tile_w
 
-    z, tid, attrs, meta = pl.pallas_call(
+    z, tid, attrs, meta, inv = pl.pallas_call(
         functools.partial(_raster_fused_kernel, tiles_x=tiles_x,
                           tile_h=tile_h, tile_w=tile_w),
         out_shape=(
             jax.ShapeDtypeStruct((hp, wp), jnp.float32),
             jax.ShapeDtypeStruct((hp, wp), jnp.int32),
-            jax.ShapeDtypeStruct((8, hp, wp), jnp.float32),
-            jax.ShapeDtypeStruct((6, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((N_ATTR, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((N_META, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((hp, wp), jnp.float32),
         ),
         grid=(tiles_y, tiles_x),
         in_specs=[
@@ -697,12 +721,13 @@ def rasterize_fused(fat_rows, bins, counts, *, tiles_x: int, tiles_y: int,
         out_specs=(
             pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, tile_h, tile_w), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((6, tile_h, tile_w), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N_ATTR, tile_h, tile_w), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N_META, tile_h, tile_w), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM),
         ),
         interpret=use_interpret(),
     )(counts.reshape(n_tiles, 1), rows)
-    return z, tid, attrs, meta
+    return z, tid, attrs, meta, inv
 
 
 BIN_LANES = 8  # lanes per bins-block sublane row (see _pack_bins_cols)
@@ -731,19 +756,32 @@ def _pack_bins_cols(bins):
     return bins.reshape(n_tiles, BIN_LANES, G).transpose(0, 2, 1)
 
 
+NBUF = 4  # chunk-stream scratch slots: 3 copies in flight hide the HBM
+#           latency that a 2-slot double buffer only covers while a chunk's
+#           compute exceeds the copy latency (it barely does at CHUNK=8)
+
+
 def _walk_bins_cols(counts_ref, bins_ref, rows_hbm, scratch_ref, sem_ref,
                     tile, eval_entry, state):
-    """Walk a tile's column-major chunk bins, double-buffering the per-chunk
-    fat-row DMA (HBM -> VMEM scratch). eval_entry(cid, base, carry) -> carry
-    rasterizes one chunk staged at scratch rows [base, base+CHUNK).
+    """Walk a tile's column-major chunk bins, streaming the per-chunk
+    fat-row DMA (HBM -> VMEM scratch) through an NBUF-slot rotating window
+    (NBUF - 1 copies in flight ahead of the chunk being rasterized).
+    eval_entry(cid, base, carry) -> carry rasterizes one chunk staged at
+    scratch rows [base, base+CHUNK).
 
-    The walk order is the sorted entry order: lane column l covers entries
-    [l*G, l*G + cnt_l); the running entry index keeps the two scratch slots
-    alternating correctly across column boundaries, and the last entry of a
-    column prefetches the next column's first chunk.
+    The walk order is the sorted entry order; entry e lives at lane column
+    e // G, sublane e % G (see _pack_bins_cols), and only the LAST nonempty
+    column is partial, so column l covers entries [l*G, l*G + cnt_l) with
+    cnt_l = clip(n - l*G, 0, G). Entry e uses scratch slot e % NBUF; the
+    body for entry e prefetches entry e + NBUF - 1, which sits at most one
+    lane column ahead (NBUF - 1 < G always), so the dynamic-column reach is
+    a single static l+1 — the same reach the old double buffer needed.
+    Slot reuse is safe: entry e's copy starts at body e - NBUF + 1, after
+    body e - NBUF (the slot's previous user) finished evaluating.
     """
     n = counts_ref[tile, 0]
     G = bins_ref.shape[1]
+    assert NBUF - 1 < G
 
     def copy(g, l, slot):
         return pltpu.make_async_copy(
@@ -751,34 +789,35 @@ def _walk_bins_cols(counts_ref, bins_ref, rows_hbm, scratch_ref, sem_ref,
             scratch_ref.at[pl.ds(slot * CHUNK, CHUNK)],
             sem_ref.at[slot])
 
-    cnts = [jnp.clip(n - l * G, 0, G) for l in range(BIN_LANES)]
+    # prologue: fill the pipeline with the first NBUF - 1 entries (all in
+    # column 0: NBUF - 1 < G)
+    for k in range(NBUF - 1):
+        @pl.when(k < n)
+        def _(k=k):
+            copy(k, 0, k % NBUF).start()
 
-    @pl.when(n > 0)
-    def _():
-        copy(0, 0, 0).start()
-
-    base_e = jnp.int32(0)  # entries processed before this column
     for l in range(BIN_LANES):
-        cnt = cnts[l]
-        nxt = cnts[l + 1] if l + 1 < BIN_LANES else None
+        cnt = jnp.clip(n - l * G, 0, G)
 
-        def body(g, carry, l=l, cnt=cnt, nxt=nxt, base_e=base_e):
-            slot = jax.lax.rem(base_e + g, 2)
+        def body(g, carry, l=l):
+            e = l * G + g
+            pf = g + NBUF - 1          # prefetch target, local to column l
+            slot_t = jax.lax.rem(e + NBUF - 1, NBUF)
 
-            @pl.when(g + 1 < cnt)
+            @pl.when((pf < G) & (l * G + pf < n))
             def _():
-                copy(g + 1, l, 1 - slot).start()
+                copy(pf, l, slot_t).start()
 
-            if nxt is not None:
-                @pl.when((g + 1 == cnt) & (nxt > 0))
+            if l + 1 < BIN_LANES:
+                @pl.when((pf >= G) & (l * G + pf < n))
                 def _():
-                    copy(0, l + 1, 1 - slot).start()
+                    copy(pf - G, l + 1, slot_t).start()
 
+            slot = jax.lax.rem(e, NBUF)
             copy(g, l, slot).wait()
             return eval_entry(bins_ref[0, g, l], slot * CHUNK, carry)
 
         state = jax.lax.fori_loop(0, cnt, body, state)
-        base_e = base_e + cnt
     return state
 
 
@@ -847,13 +886,14 @@ def _chunks_stream_loop(counts_ref, bins_ref, rows_hbm, scratch_ref, sem_ref,
                     c0v, c1v, c2v = covs[t]
                     csum = jnp.where(take, c0v + c1v + c2v, csum)
                     new_nums = []
-                    for a in range(8):
-                        num = (c0v * r(13 + a) + c1v * r(21 + a)
-                               + c2v * r(29 + a))
+                    for a in range(N_ATTR):
+                        num = (c0v * r(13 + a) + c1v * r(19 + a)
+                               + c2v * r(25 + a))
                         new_nums.append(jnp.where(take, num, nums[a]))
                     nums = tuple(new_nums)
                     metas = tuple(
-                        jnp.where(take, r(37 + m), metas[m]) for m in range(6))
+                        jnp.where(take, r(31 + m), metas[m])
+                        for m in range(N_META))
                 return csum, nums, metas
 
             # per-chunk attr skip measured: 12.5 FPS with vs 9.9 without
@@ -879,9 +919,9 @@ def _write_state(refs, state):
     z_ref[:, :] = z1
     tid_ref[:, :] = tid1
     cs_ref[:, :] = cs1
-    for a in range(8):
+    for a in range(N_ATTR):
         nums_ref[a, :, :] = nums1[a]
-    for m in range(6):
+    for m in range(N_META):
         metas_ref[m, :, :] = metas1[m]
 
 
@@ -894,8 +934,10 @@ def _raster_chunks_fresh_kernel(counts_ref, bins_ref, rows_hbm,
         jnp.full((tile_h, tile_w), DEPTH_CLEAR, jnp.float32),
         jnp.full((tile_h, tile_w), NO_TRI, jnp.int32),
         jnp.ones((tile_h, tile_w), jnp.float32),
-        tuple(jnp.zeros((tile_h, tile_w), jnp.float32) for _ in range(8)),
-        tuple(jnp.zeros((tile_h, tile_w), jnp.float32) for _ in range(6)),
+        tuple(jnp.zeros((tile_h, tile_w), jnp.float32)
+              for _ in range(N_ATTR)),
+        tuple(jnp.zeros((tile_h, tile_w), jnp.float32)
+              for _ in range(N_META)),
     )
     state = _chunks_stream_loop(counts_ref, bins_ref, rows_hbm, scratch_ref,
                                 sem_ref, init, tiles_x=tiles_x,
@@ -913,8 +955,8 @@ def _raster_chunks_state_kernel(counts_ref, bins_ref, rows_hbm,
         z_in[:, :],
         tid_in[:, :],
         cs_in[:, :],
-        tuple(nums_in[a, :, :] for a in range(8)),
-        tuple(metas_in[m, :, :] for m in range(6)),
+        tuple(nums_in[a, :, :] for a in range(N_ATTR)),
+        tuple(metas_in[m, :, :] for m in range(N_META)),
     )
     state = _chunks_stream_loop(counts_ref, bins_ref, rows_hbm, scratch_ref,
                                 sem_ref, init, tiles_x=tiles_x,
@@ -944,8 +986,8 @@ def _state_shapes(hp: int, wp: int):
         jax.ShapeDtypeStruct((hp, wp), jnp.float32),    # z
         jax.ShapeDtypeStruct((hp, wp), jnp.int32),      # tid
         jax.ShapeDtypeStruct((hp, wp), jnp.float32),    # csum
-        jax.ShapeDtypeStruct((8, hp, wp), jnp.float32),  # attr numerators
-        jax.ShapeDtypeStruct((6, hp, wp), jnp.float32),  # meta
+        jax.ShapeDtypeStruct((N_ATTR, hp, wp), jnp.float32),  # attr nums
+        jax.ShapeDtypeStruct((N_META, hp, wp), jnp.float32),  # meta
     )
 
 
@@ -954,8 +996,8 @@ def _state_specs(tile_h: int, tile_w: int):
         pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM),
         pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM),
         pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-        pl.BlockSpec((8, tile_h, tile_w), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
-        pl.BlockSpec((6, tile_h, tile_w), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((N_ATTR, tile_h, tile_w), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((N_META, tile_h, tile_w), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
     )
 
 
@@ -978,8 +1020,8 @@ def _stream_slab_call(ccounts, bins3, rows64, state, *, tiles_x: int,
         grid=(tiles_y, tiles_x),
         out_specs=_state_specs(tile_h, tile_w),
         scratch_shapes=[
-            pltpu.VMEM((2 * CHUNK, ROW_PAD), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((NBUF * CHUNK, ROW_PAD), jnp.float32),
+            pltpu.SemaphoreType.DMA((NBUF,)),
         ],
         interpret=use_interpret(),
     )
@@ -994,7 +1036,7 @@ def _stream_slab_call(ccounts, bins3, rows64, state, *, tiles_x: int,
         functools.partial(_raster_chunks_state_kernel, tiles_x=tiles_x,
                           tile_h=tile_h, tile_w=tile_w),
         in_specs=base_specs + list(_state_specs(tile_h, tile_w)),
-        # carry the 17 framebuffer-state planes in place
+        # carry the 21 framebuffer-state planes in place
         input_output_aliases={3: 0, 4: 1, 5: 2, 6: 3, 7: 4},
         **common,
     )(ccounts.reshape(n_tiles, 1), bins3, rows64, *state)
@@ -1003,7 +1045,7 @@ def _stream_slab_call(ccounts, bins3, rows64, state, *, tiles_x: int,
 def _state_to_outputs(state):
     z, tid, cs, nums, metas = state
     inv = jnp.where(cs != 0.0, 1.0 / cs, 0.0)
-    return z, tid, nums * inv[None], metas
+    return z, tid, nums * inv[None], metas, inv
 
 
 @functools.partial(
@@ -1017,7 +1059,7 @@ def rasterize_fused_chunks(fat_rows, cbins, ccounts, *, tiles_x: int,
     fat_rows: (T, 48) f32, T % CHUNK == 0.
     cbins/ccounts: bin_triangles output over chunk AABBs (any width —
     _pack_bins_cols pads as needed).
-    Returns (z, tid, attrs (8,Hp,Wp), meta (6,Hp,Wp)).
+    Returns (z, tid, attrs (N_ATTR,Hp,Wp), meta (N_META,Hp,Wp), inv).
     """
     T = fat_rows.shape[0]
     C = T // CHUNK
@@ -1113,9 +1155,8 @@ def _accum_fused_kernel(counts_ref, light_ref, rows_ref, zbase_ref,
     j = pl.program_id(1)
     tile = i * tiles_x + j
     n = counts_ref[tile, 0]
-    sx = light_ref[0, 0]
-    sy = light_ref[0, 1]
-    sz = light_ref[0, 2]
+    # light_ref cols 0-2 (sun_dir) are unused in-kernel: the light dot is
+    # baked into the per-corner light-numerator attribute at vertex setup
     power = light_ref[0, 3]
     amb_r = light_ref[0, 4]
     amb_g = light_ref[0, 5]
@@ -1157,20 +1198,17 @@ def _accum_fused_kernel(counts_ref, light_ref, rows_ref, zbase_ref,
                 c0v, c1v, c2v = covs[u]
                 csum = c0v + c1v + c2v
                 inv = jnp.where(csum != 0.0, 1.0 / csum, 0.0)
-                # perspective-correct normal + color (attr cols 0-5; uv
-                # unused: the white texture's tex factor is 1.0)
+                # perspective-correct light-numerator + color (uv unused:
+                # the white texture's tex factor is 1.0)
                 b0 = c0v * inv
                 b1 = c1v * inv
                 b2 = c2v * inv
-                nx = b0 * r(13) + b1 * r(21) + b2 * r(29)
-                ny = b0 * r(14) + b1 * r(22) + b2 * r(30)
-                nz = b0 * r(15) + b1 * r(23) + b2 * r(31)
-                cr = b0 * r(16) + b1 * r(24) + b2 * r(32)
-                cg = b0 * r(17) + b1 * r(25) + b2 * r(33)
-                cb = b0 * r(18) + b1 * r(26) + b2 * r(34)
+                ln = b0 * r(13) + b1 * r(19) + b2 * r(25)
+                cr = b0 * r(14) + b1 * r(20) + b2 * r(26)
+                cg = b0 * r(15) + b1 * r(21) + b2 * r(27)
+                cb = b0 * r(16) + b1 * r(22) + b2 * r(28)
                 # mesh.frag:12-18 — light floor 0.1, sun power, ambient add
-                light = jnp.maximum(nx * sx + ny * sy + nz * sz,
-                                    jnp.float32(0.1))
+                light = jnp.maximum(ln, jnp.float32(0.1))
                 scale = light * power
                 ar = jnp.where(take, ar + cr * (scale + amb_r), ar)
                 ag = jnp.where(take, ag + cg * (scale + amb_g), ag)
@@ -1252,9 +1290,8 @@ def _accum_chunks_kernel(counts_ref, light_ref, bins_ref, rows_hbm,
     j = pl.program_id(1)
     tile = i * tiles_x + j
     n = counts_ref[tile, 0]
-    sx = light_ref[0, 0]
-    sy = light_ref[0, 1]
-    sz = light_ref[0, 2]
+    # light_ref cols 0-2 (sun_dir) are unused in-kernel: the light dot is
+    # baked into the per-corner light-numerator attribute at vertex setup
     power = light_ref[0, 3]
     amb_r = light_ref[0, 4]
     amb_g = light_ref[0, 5]
@@ -1299,14 +1336,11 @@ def _accum_chunks_kernel(counts_ref, light_ref, bins_ref, rows_hbm,
                 b0 = c0v * inv
                 b1 = c1v * inv
                 b2 = c2v * inv
-                nx = b0 * r(13) + b1 * r(21) + b2 * r(29)
-                ny = b0 * r(14) + b1 * r(22) + b2 * r(30)
-                nz = b0 * r(15) + b1 * r(23) + b2 * r(31)
-                cr = b0 * r(16) + b1 * r(24) + b2 * r(32)
-                cg = b0 * r(17) + b1 * r(25) + b2 * r(33)
-                cb = b0 * r(18) + b1 * r(26) + b2 * r(34)
-                light = jnp.maximum(nx * sx + ny * sy + nz * sz,
-                                    jnp.float32(0.1))
+                ln = b0 * r(13) + b1 * r(19) + b2 * r(25)
+                cr = b0 * r(14) + b1 * r(20) + b2 * r(26)
+                cg = b0 * r(15) + b1 * r(21) + b2 * r(27)
+                cb = b0 * r(16) + b1 * r(22) + b2 * r(28)
+                light = jnp.maximum(ln, jnp.float32(0.1))
                 scale = light * power
                 ar = jnp.where(take, ar + cr * (scale + amb_r), ar)
                 ag = jnp.where(take, ag + cg * (scale + amb_g), ag)
@@ -1377,8 +1411,8 @@ def _accum_slab_call(ccounts, light, bins3, rows64, z_base, *, tiles_x: int,
             pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2 * CHUNK, ROW_PAD), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((NBUF * CHUNK, ROW_PAD), jnp.float32),
+            pltpu.SemaphoreType.DMA((NBUF,)),
         ],
         interpret=use_interpret(),
     )(ccounts.reshape(n_tiles, 1), light.reshape(1, 8), bins3, rows64, z_base)
@@ -1412,7 +1446,7 @@ def rasterize_accum_slabs(fat_rows, bins_full, counts, z_base, light, *,
 
 
 def _peel_fused_kernel(counts_ref, rows_ref, zbase_ref, last_ref,
-                       tid_ref, attr_ref, meta_ref, *,
+                       tid_ref, attr_ref, meta_ref, inv_ref, *,
                        tiles_x: int, tile_h: int, tile_w: int):
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -1459,13 +1493,14 @@ def _peel_fused_kernel(counts_ref, rows_ref, zbase_ref, last_ref,
                 c0v, c1v, c2v = covs[u]
                 csum = jnp.where(take, c0v + c1v + c2v, csum)
                 new_nums = []
-                for a in range(8):
-                    num = (c0v * r(13 + a) + c1v * r(21 + a)
-                           + c2v * r(29 + a))
+                for a in range(N_ATTR):
+                    num = (c0v * r(13 + a) + c1v * r(19 + a)
+                           + c2v * r(25 + a))
                     new_nums.append(jnp.where(take, num, nums[a]))
                 nums = tuple(new_nums)
                 metas = tuple(
-                    jnp.where(take, r(37 + m), metas[m]) for m in range(6))
+                    jnp.where(take, r(31 + m), metas[m])
+                    for m in range(N_META))
             return csum, nums, metas
 
         csum, nums, metas = jax.lax.cond(
@@ -1475,16 +1510,19 @@ def _peel_fused_kernel(counts_ref, rows_ref, zbase_ref, last_ref,
 
     best0 = jnp.full((tile_h, tile_w), ID_INF, jnp.int32)
     cs0 = jnp.ones((tile_h, tile_w), jnp.float32)
-    nums0 = tuple(jnp.zeros((tile_h, tile_w), jnp.float32) for _ in range(8))
-    metas0 = tuple(jnp.zeros((tile_h, tile_w), jnp.float32) for _ in range(6))
+    nums0 = tuple(jnp.zeros((tile_h, tile_w), jnp.float32)
+                  for _ in range(N_ATTR))
+    metas0 = tuple(jnp.zeros((tile_h, tile_w), jnp.float32)
+                   for _ in range(N_META))
     n4 = (n + _UNROLL - 1) // _UNROLL
     best1, cs1, nums1, metas1 = jax.lax.fori_loop(
         0, n4, tri_body, (best0, cs0, nums0, metas0))
     tid_ref[:, :] = best1
     inv = jnp.where(cs1 != 0.0, 1.0 / cs1, 0.0)
-    for a in range(8):
+    inv_ref[:, :] = inv
+    for a in range(N_ATTR):
         attr_ref[a, :, :] = nums1[a] * inv
-    for m in range(6):
+    for m in range(N_META):
         meta_ref[m, :, :] = metas1[m]
 
 
@@ -1515,8 +1553,9 @@ def rasterize_peel_fused(fat_rows, bins, counts, z_base, last_id, *,
                           tile_h=tile_h, tile_w=tile_w),
         out_shape=(
             jax.ShapeDtypeStruct((hp, wp), jnp.int32),
-            jax.ShapeDtypeStruct((8, hp, wp), jnp.float32),
-            jax.ShapeDtypeStruct((6, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((N_ATTR, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((N_META, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((hp, wp), jnp.float32),
         ),
         grid=(tiles_y, tiles_x),
         in_specs=[
@@ -1529,8 +1568,9 @@ def rasterize_peel_fused(fat_rows, bins, counts, z_base, last_id, *,
         ],
         out_specs=(
             pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, tile_h, tile_w), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((6, tile_h, tile_w), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N_ATTR, tile_h, tile_w), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N_META, tile_h, tile_w), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM),
         ),
         interpret=use_interpret(),
     )(counts.reshape(n_tiles, 1), rows, z_base, last_id)
@@ -1595,13 +1635,14 @@ def _peel_stream_loop(counts_ref, bins_ref, rows_hbm, scratch_ref, sem_ref,
                 c0v, c1v, c2v = covs[t]
                 csum = jnp.where(take, c0v + c1v + c2v, csum)
                 new_nums = []
-                for a in range(8):
-                    num = (c0v * r(13 + a) + c1v * r(21 + a)
-                           + c2v * r(29 + a))
+                for a in range(N_ATTR):
+                    num = (c0v * r(13 + a) + c1v * r(19 + a)
+                           + c2v * r(25 + a))
                     new_nums.append(jnp.where(take, num, nums[a]))
                 nums = tuple(new_nums)
                 metas = tuple(
-                    jnp.where(take, r(37 + m), metas[m]) for m in range(6))
+                    jnp.where(take, r(31 + m), metas[m])
+                    for m in range(N_META))
             return csum, nums, metas
 
         csum, nums, metas = jax.lax.cond(
@@ -1617,8 +1658,8 @@ def _peel_state_shapes(hp: int, wp: int):
     return (
         jax.ShapeDtypeStruct((hp, wp), jnp.int32),       # best (smallest id)
         jax.ShapeDtypeStruct((hp, wp), jnp.float32),     # csum
-        jax.ShapeDtypeStruct((8, hp, wp), jnp.float32),  # attr numerators
-        jax.ShapeDtypeStruct((6, hp, wp), jnp.float32),  # meta
+        jax.ShapeDtypeStruct((N_ATTR, hp, wp), jnp.float32),  # attr nums
+        jax.ShapeDtypeStruct((N_META, hp, wp), jnp.float32),  # meta
     )
 
 
@@ -1626,8 +1667,8 @@ def _peel_state_specs(tile_h: int, tile_w: int):
     return (
         pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM),
         pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-        pl.BlockSpec((8, tile_h, tile_w), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
-        pl.BlockSpec((6, tile_h, tile_w), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((N_ATTR, tile_h, tile_w), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((N_META, tile_h, tile_w), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
     )
 
 
@@ -1636,9 +1677,9 @@ def _peel_write_state(refs, state):
     best1, cs1, nums1, metas1 = state
     best_ref[:, :] = best1
     cs_ref[:, :] = cs1
-    for a in range(8):
+    for a in range(N_ATTR):
         nums_ref[a, :, :] = nums1[a]
-    for m in range(6):
+    for m in range(N_META):
         metas_ref[m, :, :] = metas1[m]
 
 
@@ -1650,8 +1691,10 @@ def _peel_chunks_fresh_kernel(counts_ref, bins_ref, rows_hbm, zbase_ref,
     init = (
         jnp.full((tile_h, tile_w), ID_INF, jnp.int32),
         jnp.ones((tile_h, tile_w), jnp.float32),
-        tuple(jnp.zeros((tile_h, tile_w), jnp.float32) for _ in range(8)),
-        tuple(jnp.zeros((tile_h, tile_w), jnp.float32) for _ in range(6)),
+        tuple(jnp.zeros((tile_h, tile_w), jnp.float32)
+              for _ in range(N_ATTR)),
+        tuple(jnp.zeros((tile_h, tile_w), jnp.float32)
+              for _ in range(N_META)),
     )
     state = _peel_stream_loop(counts_ref, bins_ref, rows_hbm, scratch_ref,
                               sem_ref, zbase_ref[:, :], last_ref[:, :], init,
@@ -1668,8 +1711,8 @@ def _peel_chunks_state_kernel(counts_ref, bins_ref, rows_hbm, zbase_ref,
     init = (
         best_in[:, :],
         cs_in[:, :],
-        tuple(nums_in[a, :, :] for a in range(8)),
-        tuple(metas_in[m, :, :] for m in range(6)),
+        tuple(nums_in[a, :, :] for a in range(N_ATTR)),
+        tuple(metas_in[m, :, :] for m in range(N_META)),
     )
     state = _peel_stream_loop(counts_ref, bins_ref, rows_hbm, scratch_ref,
                               sem_ref, zbase_ref[:, :], last_ref[:, :], init,
@@ -1698,8 +1741,8 @@ def _peel_slab_call(ccounts, bins3, rows64, z_base, last_id, state, *,
         grid=(tiles_y, tiles_x),
         out_specs=_peel_state_specs(tile_h, tile_w),
         scratch_shapes=[
-            pltpu.VMEM((2 * CHUNK, ROW_PAD), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((NBUF * CHUNK, ROW_PAD), jnp.float32),
+            pltpu.SemaphoreType.DMA((NBUF,)),
         ],
         interpret=use_interpret(),
     )
@@ -1715,7 +1758,7 @@ def _peel_slab_call(ccounts, bins3, rows64, z_base, last_id, state, *,
         functools.partial(_peel_chunks_state_kernel, tiles_x=tiles_x,
                           tile_h=tile_h, tile_w=tile_w),
         in_specs=base_specs + list(_peel_state_specs(tile_h, tile_w)),
-        # carry the 16 peel-state planes in place
+        # carry the 20 peel-state planes in place
         input_output_aliases={5: 0, 6: 1, 7: 2, 8: 3},
         **common,
     )(*args, *state)
@@ -1738,7 +1781,8 @@ def rasterize_peel_slabs(fat_rows, bins_full, counts, z_base, last_id, *,
     this, NO path in the renderer has a triangle capacity — full parity
     with the reference's cliff-free pipeline (vk_engine.cpp:1453-1465).
 
-    Returns (best id (ID_INF where no layer), attrs (8,Hp,Wp), meta (6,Hp,Wp)).
+    Returns (best id (ID_INF where no layer), attrs (N_ATTR,Hp,Wp),
+    meta (N_META,Hp,Wp), inv (Hp,Wp)).
     """
     C = fat_rows.shape[0] // CHUNK
     rows64 = _prep_stream_rows(fat_rows)
@@ -1750,5 +1794,5 @@ def rasterize_peel_slabs(fat_rows, bins_full, counts, z_base, last_id, *,
         lambda sc, b3, st: _peel_slab_call(sc, b3, rows64, z_base, last_id,
                                            st, **kw))
     inv = jnp.where(cs != 0.0, 1.0 / cs, 0.0)
-    return best, nums * inv[None], metas
+    return best, nums * inv[None], metas, inv
 

@@ -36,13 +36,27 @@ from tpu_renderer.resources import (
 C_EDGE = 0     # 9: edge planes (barycentric numerators)
 C_Z = 9        # 3: affine depth plane
 C_MAT = 12     # 1: material id
-C_ATTR = 13    # 24: per-corner normal(3) color(3) uv(2), corner-major
-C_TEX = 37     # 6: base_x, base_y, w0, h0, n_levels, filter_flags
+C_ATTR = 13    # 18: per-corner [light_num, r, g, b, u, v], corner-major.
+#                light_num = dot(model-rotated normal, sun_dir): mesh.frag
+#                uses the interpolated normal ONLY through this dot
+#                (shaders/mesh.frag:13), and the dot commutes with linear
+#                interpolation, so one light-numerator channel replaces the
+#                three normal channels.
+C_TEX = 31     # 6: base_x, base_y, w0, h0, n_levels, filter_flags
+C_GRAD = 37    # 6: nu_a, nu_b, nv_a, nv_b, den_a, den_b — per-triangle uv
+#                screen-gradient constants: uv(X,Y) = num(X,Y)/den(X,Y) with
+#                num/den linear planes, so duv/dX = (num_X - uv*den_X)/den;
+#                the 6 plane slopes make the mip LOD analytic per triangle
+#                (the hardware-matching fix for quad-derivative silhouette
+#                divergence; /root/reference/shaders/mesh.frag:15 gets this
+#                from texture()'s implicit same-primitive derivatives).
 SHADE_COLS = 48
+N_ATTR = 6     # interpolated attribute planes (light_num, rgb, uv)
+N_META = 12    # per-winner constant planes (C_TEX 6 + C_GRAD 6)
 
 
 def build_shade_rows(packed, attrs, mat_meta):
-    """(T,16) setup rows + (T,3,8) attrs + (M,8) material meta -> (T,48).
+    """(T,16) setup rows + (T,3,6) attrs + (M,8) material meta -> (T,48).
 
     mat_meta rows: [base_x, base_y, w0, h0, n_levels, filter_flags, 0, 0]
     (f32 values; all are small integers, exactly representable).
@@ -50,12 +64,23 @@ def build_shade_rows(packed, attrs, mat_meta):
     T = packed.shape[0]
     mat = packed[:, 13].astype(jnp.int32)
     meta = mat_meta[jnp.clip(mat, 0, mat_meta.shape[0] - 1)]  # (T, 8)
+    # analytic uv-gradient constants from the edge planes + corner uvs
+    A = packed[:, (0, 3, 6)]                 # (T, 3) edge-plane X slopes
+    B = packed[:, (1, 4, 7)]                 # (T, 3) edge-plane Y slopes
+    u = attrs[:, :, 4]
+    v = attrs[:, :, 5]
+    grad = jnp.stack([
+        jnp.sum(A * u, axis=1), jnp.sum(B * u, axis=1),
+        jnp.sum(A * v, axis=1), jnp.sum(B * v, axis=1),
+        jnp.sum(A, axis=1), jnp.sum(B, axis=1),
+    ], axis=1)                               # (T, 6)
     return jnp.concatenate(
         [
             packed[:, 0:12],
             packed[:, 13:14],
-            attrs.reshape(T, 24),
+            attrs.reshape(T, 18),
             meta[:, :6],
+            grad,
             jnp.zeros((T, 5), jnp.float32),
         ],
         axis=1,
@@ -68,17 +93,24 @@ def _chan(texel_u32, shift: int):
         * jnp.float32(1.0 / 255.0)
 
 
-def _quad_derivative(p, axis: int):
-    """Hardware-style coarse derivative of one (H, W) plane over 2x2 pixel
-    quads (GPU helper-invocation semantics: both pixels of a quad pair share
-    d = p[odd] - p[even]). Pure rolls + selects — no reshapes, no transposes.
-    H, W must be even (guaranteed by tile padding)."""
-    idx = jax.lax.broadcasted_iota(jnp.int32, p.shape, axis)
-    even = (idx & 1) == 0
-    fwd = jnp.roll(p, -1, axis=axis)   # p[i+1]
-    bwd = jnp.roll(p, 1, axis=axis)    # p[i-1]
-    partner = jnp.where(even, fwd, bwd)
-    return jnp.where(even, partner - p, p - partner)
+def uv_gradients(u, v, grad_meta, inv):
+    """Analytic per-pixel uv screen gradients from the 6 per-triangle
+    C_GRAD constants plus inv = 1/den(X,Y).
+
+    uv = num/den (both linear in screen X, Y), so
+    d(uv)/dX = (num_X - uv * den_X) * inv — exact where a GPU's 2x2
+    helper-invocation quads only finite-difference the same primitive
+    (and, unlike quad differencing of the interpolated planes, never mixes
+    NEIGHBORING primitives at silhouettes/material boundaries).
+    grad_meta: 6 planes [nu_a, nu_b, nv_a, nv_b, den_a, den_b].
+    Returns (dudx, dudy, dvdx, dvdy) planes.
+    """
+    nu_a, nu_b, nv_a, nv_b, den_a, den_b = grad_meta
+    dudx = (nu_a - u * den_a) * inv
+    dudy = (nu_b - u * den_b) * inv
+    dvdx = (nv_a - v * den_a) * inv
+    dvdy = (nv_b - v * den_b) * inv
+    return dudx, dudy, dvdx, dvdy
 
 
 def _level_coords(w0, h0, li, u, v):
@@ -138,29 +170,23 @@ def _sample_level(atlas, base_x, base_y, w0, h0, level, u, v, linear,
 
 
 def sample_texture(atlas, base_x, base_y, w0, h0, n_levels, flags, u, v,
-                   trilinear: bool = True):
-    """Full sampler: LOD from quad derivatives, trilinear/nearest filtering,
-    REPEAT wrap — two taps max. Planar in, (r, g, b) planes out.
+                   grads, trilinear: bool = True):
+    """Full sampler: analytic per-triangle mip LOD, trilinear/nearest
+    filtering, REPEAT wrap — two taps max. Planar in, (r, g, b) planes out.
+
+    grads: (dudx, dudy, dvdx, dvdy) planes from uv_gradients — the
+    per-triangle analytic derivatives, matching the hardware semantics of
+    same-primitive helper-invocation quads (no cross-primitive
+    contamination at silhouettes).
 
     trilinear=False is a STATIC fast path for scenes where no sampler mixes
     two mip levels (no FILTER_MIP_LINEAR material with a mipmapped
     texture): the per-pixel mip fraction is provably 0, so the second tap's
     whole-frame gather (~8-25 ms at 1080p by the measured cost model) is
     skipped entirely. Results are bit-identical to the two-tap path.
-
-    Known divergence from hardware (documented, not fixed): the quad
-    derivatives difference NEIGHBORING PIXELS' interpolated uv planes; at
-    primitive silhouettes and material boundaries the 2x2 quad spans
-    different primitives (or background zeros), so edge pixels can select
-    a coarser mip than a GPU would (hardware helper invocations extrapolate
-    the SAME primitive). A faithful fix needs per-triangle uv-gradient
-    constants carried through the raster (6 more row columns/planes).
     """
     fl = flags.astype(jnp.int32)
-    dudx = _quad_derivative(u, 1)
-    dudy = _quad_derivative(u, 0)
-    dvdx = _quad_derivative(v, 1)
-    dvdy = _quad_derivative(v, 0)
+    dudx, dudy, dvdx, dvdy = grads
     rho_x = jnp.sqrt((dudx * w0) ** 2 + (dvdx * h0) ** 2)
     rho_y = jnp.sqrt((dudy * w0) ** 2 + (dvdy * h0) ** 2)
     rho = jnp.maximum(rho_x, rho_y)
@@ -196,28 +222,26 @@ def sample_texture(atlas, base_x, base_y, w0, h0, n_levels, flags, u, v,
     return tuple(a * inv + b * frac for a, b in zip(ca, cb))
 
 
-def light_and_texture(normal, color_in, uv, texmeta, atlas, ambient_rgb,
-                      sun_dir, sun_power, textured: bool = True,
+def light_and_texture(light_num, color_in, uv, texmeta, grads, atlas,
+                      ambient_rgb, sun_power, textured: bool = True,
                       trilinear: bool = True):
     """mesh.frag:12-19 given already-interpolated attribute PLANES.
 
-    normal: (nx, ny, nz) planes; color_in: (r, g, b) planes; uv: (u, v)
-    planes; texmeta: 6-tuple of planes [base_x, base_y, w0, h0, n_levels,
-    filter_flags]. Returns (r, g, b) planes.
+    light_num: interpolated dot(N, sun_dir) plane (N model-rotated, NOT
+    renormalized — the dot commutes with the interpolation, mesh.frag:13);
+    color_in: (r, g, b) planes; uv: (u, v) planes; texmeta: 6-tuple of
+    planes [base_x, base_y, w0, h0, n_levels, filter_flags]; grads:
+    (dudx, dudy, dvdx, dvdy) planes (ignored when not textured).
+    Returns (r, g, b) planes.
     """
-    nx, ny, nz = normal
     if textured:
         tex = sample_texture(atlas, texmeta[0], texmeta[1], texmeta[2],
                              texmeta[3], texmeta[4], texmeta[5], uv[0], uv[1],
-                             trilinear=trilinear)
+                             grads, trilinear=trilinear)
     else:
         tex = (None, None, None)
-    # mesh.frag:13 — light = max(dot(N, sunlight_direction.xyz), 0.1);
-    # N is the interpolated model-rotated normal, NOT renormalized.
-    light = jnp.maximum(
-        nx * sun_dir[0] + ny * sun_dir[1] + nz * sun_dir[2],
-        jnp.float32(0.1),
-    )
+    # mesh.frag:13 — light = max(dot(N, sunlight_direction.xyz), 0.1)
+    light = jnp.maximum(light_num, jnp.float32(0.1))
     # mesh.frag:15-18
     scale = light * sun_power
     out = []
@@ -227,18 +251,25 @@ def light_and_texture(normal, color_in, uv, texmeta, atlas, ambient_rgb,
     return tuple(out)
 
 
-def shade_fused(attrs, meta, atlas, ambient_rgb, sun_dir, sun_power,
+def shade_fused(attrs, meta, inv, atlas, ambient_rgb, sun_dir, sun_power,
                 textured: bool = True, trilinear: bool = True):
     """Shade from the fused raster outputs (no per-pixel row gather).
 
-    attrs: (8, Hp, Wp) interpolated normal/rgb/uv planes;
-    meta: (6, Hp, Wp) texture metadata planes.
+    attrs: (6, Hp, Wp) interpolated [light_num, rgb, uv] planes;
+    meta: (12, Hp, Wp) per-winner constant planes (tex 6 + uv-grad 6);
+    inv: (Hp, Wp) 1/csum plane (for the analytic uv gradients).
+    sun_dir is unused here (the light dot is baked into attrs[0] at vertex
+    setup) — kept in the signature for call-site symmetry.
     Returns (3, Hp, Wp) rgb (channel-major — never a channel-minor image).
     """
+    del sun_dir
+    grads = uv_gradients(attrs[4], attrs[5],
+                         tuple(meta[6 + m] for m in range(6)), inv) \
+        if textured else None
     r, g, b = light_and_texture(
-        (attrs[0], attrs[1], attrs[2]), (attrs[3], attrs[4], attrs[5]),
-        (attrs[6], attrs[7]), tuple(meta[m] for m in range(6)),
-        atlas, ambient_rgb, sun_dir, sun_power, textured=textured,
+        attrs[0], (attrs[1], attrs[2], attrs[3]),
+        (attrs[4], attrs[5]), tuple(meta[m] for m in range(6)), grads,
+        atlas, ambient_rgb, sun_power, textured=textured,
         trilinear=trilinear)
     return jnp.stack([r, g, b])
 
@@ -249,6 +280,7 @@ def shade_core(t, shade_rows, atlas, ambient_rgb, sun_dir, sun_power,
     whose t is a placeholder produce garbage the caller masks).
     Returns (3, H, W) f32 linear rgb.
     """
+    del sun_dir  # baked into the light-numerator attribute channel
     hp, wp = t.shape
     g = shade_rows[t]                                  # (Hp,Wp,48) — gather 1
 
@@ -265,14 +297,17 @@ def shade_core(t, shade_rows, atlas, ambient_rgb, sun_dir, sun_power,
 
     # perspective-correct interpolation, one plane per attribute
     interp = [
-        g[..., C_ATTR + a] * b0 + g[..., C_ATTR + 8 + a] * b1
-        + g[..., C_ATTR + 16 + a] * b2
-        for a in range(8)
+        g[..., C_ATTR + a] * b0 + g[..., C_ATTR + 6 + a] * b1
+        + g[..., C_ATTR + 12 + a] * b2
+        for a in range(N_ATTR)
     ]
+    grads = uv_gradients(interp[4], interp[5],
+                         tuple(g[..., C_GRAD + m] for m in range(6)), inv) \
+        if textured else None
     r, gg, b = light_and_texture(
-        (interp[0], interp[1], interp[2]), (interp[3], interp[4], interp[5]),
-        (interp[6], interp[7]), tuple(g[..., C_TEX + m] for m in range(6)),
-        atlas, ambient_rgb, sun_dir, sun_power, textured=textured,
+        interp[0], (interp[1], interp[2], interp[3]),
+        (interp[4], interp[5]), tuple(g[..., C_TEX + m] for m in range(6)),
+        grads, atlas, ambient_rgb, sun_power, textured=textured,
         trilinear=trilinear)
     return jnp.stack([r, gg, b])
 

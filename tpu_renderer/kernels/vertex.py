@@ -41,8 +41,12 @@ COL_VALID = 12
 COL_MAT = 13
 SETUP_COLS = 16
 
-# Number of per-corner attribute channels: normal(3) + color_rgb(3) + uv(2)
-ATTR_COLS = 8
+# Per-corner attribute channels: light_num(1) + color_rgb(3) + uv(2).
+# light_num = dot(model-rotated corner normal, sun_dir): the fragment shader
+# uses the interpolated normal ONLY inside this dot (mesh.frag:13), and the
+# dot commutes with linear interpolation, so interpolating the scalar dot is
+# exactly equivalent (and 2 channels cheaper) than interpolating the normal.
+ATTR_COLS = 6
 
 
 class TriangleSetup(NamedTuple):
@@ -96,6 +100,8 @@ def triangle_setup(
     viewproj,       # (4, 4) f32
     width: int,
     height: int,
+    sun_dir=None,   # (3,) f32 — sunlight_direction.xyz (mesh.frag:13);
+    #                 None (visibility-only tests) bakes a zero light dot
 ) -> TriangleSetup:
     """Batched mesh.vert + primitive setup. All shapes static; fully jittable."""
     f32 = jnp.float32
@@ -157,13 +163,18 @@ def triangle_setup(
     # Per-corner shading attributes.
     mat_id = jnp.where(good, draw_mat[tri_draw], 0).astype(jnp.int32)
     n = normals[tri_vidx]                                             # (T,3,3)
-    # mesh.vert:35 — outNormal = (renderMatrix * vec4(n, 0)).xyz (NOT normalized)
+    # mesh.vert:35 — outNormal = (renderMatrix * vec4(n, 0)).xyz (NOT
+    # normalized), consumed only through dot(N, sun_dir) in mesh.frag:13 —
+    # bake the dot per corner (linear, so interpolation commutes)
     model3 = draw_model[tri_draw][:, :3, :3]
     n_world = jnp.einsum("tij,tcj->tci", model3, n)
+    sd = jnp.zeros(3, f32) if sun_dir is None \
+        else jnp.asarray(sun_dir, f32)[:3]
+    light_num = jnp.einsum("tci,i->tc", n_world, sd)[..., None]       # (T,3,1)
     # mesh.vert:36 — outColor = v.color.xyz * materialData.color_factors.xyz
     col = colors[tri_vidx][..., :3] * mat_color_factors[mat_id][:, None, :3]
     uv = uvs[tri_vidx]                                                # (T,3,2)
-    attrs = jnp.concatenate([n_world, col, uv], axis=-1)              # (T,3,8)
+    attrs = jnp.concatenate([light_num, col, uv], axis=-1)            # (T,3,6)
 
     packed = jnp.zeros((tri_vidx.shape[0], SETUP_COLS), f32)
     packed = packed.at[:, COL_E:COL_E + 9].set(cplane.reshape(-1, 9))

@@ -148,7 +148,7 @@ def render_frame_multichip(buffers: SceneBuffers, params: FrameParams, *,
                 buffers.positions, buffers.normals, buffers.colors,
                 buffers.uvs, vidx, draw, valid, buffers.draw_model, visible,
                 buffers.draw_mat, buffers.mat_color_factors, viewproj,
-                width, height)
+                width, height, sun_dir=params.sun_dir[:3])
             packed_l = _shift_rows_y(setup.packed, y0)
             aabb_l = _shift_aabb_y(setup.aabb, y0)
             caabb, cvalid = raster.chunk_aabbs(aabb_l, setup.valid)
@@ -178,7 +178,7 @@ def render_frame_multichip(buffers: SceneBuffers, params: FrameParams, *,
                                             buffers.mat_meta)
         if fused:
             # chunk-streaming slab raster, same as the single-chip hot path
-            z, tid_local, attrs_l, meta_l = raster.rasterize_fused_slabs(
+            z, tid_local, attrs_l, meta_l, inv_l = raster.rasterize_fused_slabs(
                 rows_local, cbins, ccounts, tiles_x=tiles_x,
                 tiles_y=tiles_y_band, tile_w=tile_w, tile_h=tile_h)
             tid = jnp.where(tid_local >= 0, tid_local + tri_idx * t_shard, -1)
@@ -189,10 +189,12 @@ def render_frame_multichip(buffers: SceneBuffers, params: FrameParams, *,
             # exactly one shard holds the winner's interpolated attributes:
             # psum the masked planes instead of all_gather + per-pixel gather
             win = (cand == tid_win) & (tid_win >= 0)
-            planes = jnp.concatenate([attrs_l, meta_l], axis=0)  # (14, bh, wp)
+            na, nm = shade.N_ATTR, shade.N_META
+            planes = jnp.concatenate([attrs_l, meta_l, inv_l[None]], axis=0)
             planes = jax.lax.psum(jnp.where(win[None], planes, 0.0), "tri")
             shaded = shade.shade_fused(
-                planes[:8], planes[8:], buffers.atlas, params.ambient[:3],
+                planes[:na], planes[na:na + nm], planes[na + nm],
+                buffers.atlas, params.ambient[:3],
                 params.sun_dir[:3], params.sun_color[3])
             valid = tid_win >= 0
             rgb = jnp.where(valid[None], shaded, fb[:3])
@@ -242,13 +244,14 @@ def render_frame_multichip(buffers: SceneBuffers, params: FrameParams, *,
                 def peel_body(carry):
                     delta, cnt, last, _ = carry
                     if fused:
-                        layer, attrs_px, meta_px = raster.rasterize_peel_slabs(
-                            rows_t, cbins_t, ccounts_t, z, last,
-                            tiles_x=tiles_x, tiles_y=tiles_y_band,
-                            tile_w=tile_w, tile_h=tile_h)
+                        layer, attrs_px, meta_px, inv_px = \
+                            raster.rasterize_peel_slabs(
+                                rows_t, cbins_t, ccounts_t, z, last,
+                                tiles_x=tiles_x, tiles_y=tiles_y_band,
+                                tile_w=tile_w, tile_h=tile_h)
                         found = layer < raster.ID_INF
                         src = shade.shade_fused(
-                            attrs_px, meta_px, buffers.atlas,
+                            attrs_px, meta_px, inv_px, buffers.atlas,
                             params.ambient[:3], params.sun_dir[:3],
                             params.sun_color[3], textured=transp_textured)
                     else:

@@ -162,7 +162,7 @@ def render_frame(buffers: SceneBuffers, params: FrameParams, *,
             buffers.opaque_tri_vidx, buffers.opaque_tri_draw,
             buffers.opaque_tri_valid, buffers.draw_model, vis,
             buffers.draw_mat, buffers.mat_color_factors, viewproj,
-            width, height,
+            width, height, sun_dir=params.sun_dir[:3],
         )
         caabb, cvalid = raster.chunk_aabbs(setup.aabb, setup.valid)
         rows = shade.build_shade_rows(setup.packed, setup.attrs, buffers.mat_meta)
@@ -178,12 +178,12 @@ def render_frame(buffers: SceneBuffers, params: FrameParams, *,
             cbins_full, ccounts = raster.bin_triangles_full(
                 caabb, cvalid, tiles_x=tiles_x, tiles_y=tiles_y,
                 tile_w=tile_w, tile_h=tile_h)
-            z, tid, attrs_px, meta_px = raster.rasterize_fused_slabs(
+            z, tid, attrs_px, meta_px, inv_px = raster.rasterize_fused_slabs(
                 rows, cbins_full, ccounts,
                 tiles_x=tiles_x, tiles_y=tiles_y, tile_w=tile_w, tile_h=tile_h)
             valid = tid >= 0
             shaded = shade.shade_fused(
-                attrs_px, meta_px, buffers.atlas, params.ambient[:3],
+                attrs_px, meta_px, inv_px, buffers.atlas, params.ambient[:3],
                 params.sun_dir[:3], params.sun_color[3],
                 trilinear=trilinear)
             rgb = jnp.where(valid[None], shaded, fb[:3])
@@ -215,7 +215,7 @@ def render_frame(buffers: SceneBuffers, params: FrameParams, *,
             buffers.transp_tri_vidx, buffers.transp_tri_draw,
             buffers.transp_tri_valid, buffers.draw_model, all_vis,
             buffers.draw_mat, buffers.mat_color_factors, viewproj,
-            width, height,
+            width, height, sun_dir=params.sun_dir[:3],
         )
         caabb_t, cvalid_t = raster.chunk_aabbs(setup_t.aabb, setup_t.valid)
         rows_t = shade.build_shade_rows(setup_t.packed, setup_t.attrs,
@@ -277,13 +277,15 @@ def render_frame(buffers: SceneBuffers, params: FrameParams, *,
 
             def one_peel(fb, last):
                 if fused:
-                    layer, attrs_px, meta_px = raster.rasterize_peel_slabs(
-                        rows_t, cbins_tf, ccounts_tf, z, last,
-                        tiles_x=tiles_x, tiles_y=tiles_y,
-                        tile_w=tile_w, tile_h=tile_h)
+                    layer, attrs_px, meta_px, inv_px = \
+                        raster.rasterize_peel_slabs(
+                            rows_t, cbins_tf, ccounts_tf, z, last,
+                            tiles_x=tiles_x, tiles_y=tiles_y,
+                            tile_w=tile_w, tile_h=tile_h)
                     found = layer < raster.ID_INF
                     src = shade.shade_fused(
-                        attrs_px, meta_px, buffers.atlas, params.ambient[:3],
+                        attrs_px, meta_px, inv_px, buffers.atlas,
+                        params.ambient[:3],
                         params.sun_dir[:3], params.sun_color[3],
                         textured=transp_textured, trilinear=trilinear)
                     # additive blend (vk_pipelines.cpp:157-167)

@@ -70,6 +70,9 @@ class GeoSurface:
     count: int
     material: int  # index into LoadedScene.materials
     bounds: Bounds
+    # KHR_materials_variants: variant index -> LoadedScene material index
+    # (None = no mappings). select_variant() consults this.
+    variant_materials: Optional[Dict[int, int]] = None
 
 
 @dataclasses.dataclass
@@ -170,6 +173,7 @@ class LoadedScene:
         self.indices = np.zeros((0,), np.uint32)
         self.mesh_by_name: Dict[str, int] = {}
         self.node_by_name: Dict[str, Node] = {}
+        self.variants: List[str] = []  # KHR_materials_variants names
 
     def draw(self, top_matrix: np.ndarray) -> DrawContext:
         """LoadedGLTF::Draw (vk_loader.cpp:56-60)."""
@@ -204,6 +208,7 @@ def scene_from_parsed(parsed: gltf_mod.ParsedGLTF) -> LoadedScene:
     """load_gltf_meshes (vk_loader.cpp:162-437): build the runtime scene."""
     scene = LoadedScene()
     default_materials_and_textures(scene)
+    scene.variants = list(parsed.variants)
 
     # images -> texture slots (failures -> error checkerboard,
     # vk_loader.cpp:224-229)
@@ -252,12 +257,17 @@ def scene_from_parsed(parsed: gltf_mod.ParsedGLTF) -> LoadedScene:
                 mat = mat_base  # vk_loader.cpp:362 — falls back to materials[0]
             else:
                 mat = 0  # no scene materials at all: engine default
+            vmap = None
+            if s.variant_materials:
+                vmap = {v: mat_base + m
+                        for v, m in s.variant_materials.items()}
             surfaces.append(
                 GeoSurface(
                     start_index=s.start_index,
                     count=s.count,
                     material=mat,
                     bounds=Bounds(origin=s.bounds_origin, extents=s.bounds_extents),
+                    variant_materials=vmap,
                 )
             )
         mesh = MeshAsset(
@@ -304,8 +314,39 @@ def scene_from_parsed(parsed: gltf_mod.ParsedGLTF) -> LoadedScene:
     return scene
 
 
-def load_scene(path: str) -> LoadedScene:
-    return scene_from_parsed(gltf_mod.load_gltf(path))
+def load_scene(path: str, variant=None) -> LoadedScene:
+    scene = scene_from_parsed(gltf_mod.load_gltf(path))
+    if variant is not None:
+        select_variant(scene, variant)
+    return scene
+
+
+def select_variant(scene: LoadedScene, variant) -> int:
+    """Apply a KHR_materials_variants selection (by name or index).
+
+    Switches each surface with a mapping for the variant to its mapped
+    material; surfaces without a mapping keep their base material (per the
+    extension spec). Returns the number of surfaces switched. Re-flatten
+    (flatten_scene) afterwards to rebuild the draw list. The reference
+    parses the extension but never selects (vk_loader.cpp:169-191) — its
+    render equals our default (no-selection) render.
+    """
+    if isinstance(variant, str):
+        if variant not in scene.variants:
+            raise KeyError(
+                f"unknown variant {variant!r}; available: {scene.variants}")
+        vidx = scene.variants.index(variant)
+    else:
+        vidx = int(variant)
+    switched = 0
+    for mesh in scene.meshes:
+        for surf in mesh.surfaces:
+            if surf.variant_materials and vidx in surf.variant_materials:
+                new_mat = surf.variant_materials[vidx]
+                if new_mat != surf.material:
+                    surf.material = new_mat
+                    switched += 1
+    return switched
 
 
 @dataclasses.dataclass

@@ -61,9 +61,15 @@ def noise_texture(size: int = 256, seed: int = 5) -> np.ndarray:
 
 
 def build_demo_glb(path: str, grid: int = 8, seed: int = 0,
-                   transparent_ratio: float = 0.08, spacing: float = 3.0) -> str:
+                   transparent_ratio: float = 0.08, spacing: float = 3.0,
+                   trilinear: bool = False) -> str:
     """Cube-grid scene: grid*grid textured cubes (12 tris each) over a ground
     plane, a few transparent, arranged under a parent node hierarchy.
+
+    trilinear=True declares LINEAR_MIPMAP_LINEAR samplers — the reference
+    loader's DEFAULT mipmap mode (extract_mipmap_mode's default branch,
+    vk_loader.cpp:43-54) — so the renderer pays both mip taps per pixel
+    (the bench's trilinear variant).
     """
     rng = np.random.default_rng(seed)
     b = GLBBuilder()
@@ -71,7 +77,8 @@ def build_demo_glb(path: str, grid: int = 8, seed: int = 0,
     img_checker = b.add_image(checker_texture())
     img_grad = b.add_image(gradient_texture())
     img_noise = b.add_image(noise_texture())
-    smp = b.add_sampler(mag=9729, min_=9985)  # linear, mip-nearest (one tap)
+    # default: linear, mip-nearest (one tap); trilinear: the reference default
+    smp = b.add_sampler(mag=9729, min_=9987 if trilinear else 9985)
     tex_checker = b.add_texture(img_checker, smp)
     tex_grad = b.add_texture(img_grad, smp)
     tex_noise = b.add_texture(img_noise, smp)

@@ -133,14 +133,19 @@ def run_viewer(eng, n_frames: Optional[int] = None,
         frames = 0
         while n_frames is None or frames < n_frames:
             t0 = time.perf_counter()
-            # draw() integrates the camera (update_scene -> camera.update)
-            img = eng.draw(hud=False)
-            text = frame_to_halfblocks(img, cols, rows)
-            out.write(f"{ESC}[H" + text + "\n")
-            out.write(f"frame {frames}  {eng.stats.mesh_draw_time:6.1f} ms  "
-                      f"tris {eng.stats.triangle_count}  "
-                      f"[wasd move, arrows/ijkl look, q quit]\n")
-            out.flush()
+            # pipelined present: dispatch this frame, show the frame
+            # submitted FRAME_OVERLAP-1 calls ago (the reference's
+            # 3-frames-in-flight loop, vk_engine.cpp:1226-1240); the first
+            # couple of calls fill the pipeline and present nothing yet
+            img = eng.draw_pipelined(hud=False)
+            if img is not None:
+                text = frame_to_halfblocks(img, cols, rows)
+                out.write(f"{ESC}[H" + text + "\n")
+                out.write(f"frame {frames}  "
+                          f"{eng.stats.mesh_draw_time:6.1f} ms  "
+                          f"tris {eng.stats.triangle_count}  "
+                          f"[wasd move, arrows/ijkl look, q quit]\n")
+                out.flush()
             # release the one-frame key taps, then apply this frame's input
             # (terminal autorepeat re-presses held keys every frame)
             for k in "wasd":
