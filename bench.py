@@ -131,6 +131,19 @@ def _run() -> int:
         img = eng.draw_pipelined(stats_interval=0)
     eng.flush_pipelined()
     dt_inter = time.perf_counter() - t1
+
+    # Viewer-present variant: fetch only the terminal raster's samples
+    # (device-side subsample; the actual interactive-viewer UX). The
+    # full-frame fetch above is bounded by the ~8 MB/frame tunnel transfer;
+    # this is what a user of `cli view` experiences.
+    for i in range(3):
+        eng.draw_pipelined(stats_interval=0, present_cells=(96, 24))
+    t1v = time.perf_counter()
+    for i in range(frames):
+        eng.camera.yaw = np.float32(0.002 * i)
+        eng.draw_pipelined(stats_interval=0, present_cells=(96, 24))
+    dt_viewer = time.perf_counter() - t1v
+    eng.flush_pipelined()
     eng._update_stats(eng._last_aux)
 
     fps = frames / dt
@@ -145,6 +158,7 @@ def _run() -> int:
             "trilinear_frame_ms": round(1000 / fps_tri, 2),
             "interactive_fps": round(frames / dt_inter, 2),
             "interactive_frame_ms": round(1000 * dt_inter / frames, 2),
+            "viewer_fps": round(frames / dt_viewer, 2),
             "triangles": eng.stats.triangle_count,
             "mtris_per_sec": round(eng.stats.triangle_count * fps / 1e6, 2),
             "drawcalls": eng.stats.drawcall_count,

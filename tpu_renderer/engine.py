@@ -213,7 +213,8 @@ class Engine:
     FRAME_OVERLAP = 3  # frames in flight (vk_engine.h:77)
 
     def draw_pipelined(self, hud: bool = False,
-                       stats_interval: int = 30):
+                       stats_interval: int = 30,
+                       present_cells=None):
         """Render one frame with FRAME_OVERLAP frames in flight; returns the
         host image of the frame submitted FRAME_OVERLAP-1 calls ago (None
         while the pipeline fills).
@@ -233,23 +234,42 @@ class Engine:
         from tpu_renderer.present import unpack_u8
 
         if not hasattr(self, "_inflight"):
+            import concurrent.futures
+
             self._inflight = deque()
+            # one fetch thread: the blocking device->host read of frame
+            # N-2 releases the GIL during its (tunnel) round trip,
+            # overlapping the main thread's dispatch of frame N (TWO
+            # concurrent full-frame fetches measured ~2x SLOWER through the
+            # multiplexed tunnel — one stream is the right depth)
+            self._fetcher = concurrent.futures.ThreadPoolExecutor(1)
         t0 = time.perf_counter()
         params = self.update_scene()
         image, aux = self.draw_device(params)
+        if present_cells is not None:
+            # present only the terminal raster's samples: a device-side
+            # nearest subsample (same index map as frame_to_halfblocks)
+            # shrinks the per-frame host transfer from megabytes to
+            # kilobytes — the swapchain-present analog for a terminal
+            cols, rows = present_cells
+            h, w = image.shape
+            ys = (np.arange(rows * 2) * (h / (rows * 2))).astype(np.int32)                 .clip(0, h - 1)
+            xs = (np.arange(cols) * (w / cols)).astype(np.int32).clip(0, w - 1)
+            image = image[jnp.asarray(ys)][:, jnp.asarray(xs)]
         try:
             image.copy_to_host_async()
         except Exception:  # backend without async host copies
             pass
-        self._inflight.append((image, aux, self.frame_number))
+        fut = self._fetcher.submit(np.asarray, image)
+        self._inflight.append((fut, aux, self.frame_number))
         if len(self._inflight) < self.FRAME_OVERLAP:
             return None
-        img_dev, aux_old, fno = self._inflight.popleft()
-        out = unpack_u8(np.asarray(img_dev))
+        fut_old, aux_old, fno = self._inflight.popleft()
+        out = unpack_u8(fut_old.result())
         if stats_interval and (fno - 1) % stats_interval == 0:
             self._update_stats(aux_old)
         self.stats.mesh_draw_time = (time.perf_counter() - t0) * 1000.0
-        if hud:
+        if hud and present_cells is None:
             from tpu_renderer.hud import draw_stats
 
             out = out.copy()
@@ -262,8 +282,8 @@ class Engine:
 
         out = None
         while getattr(self, "_inflight", None):
-            img_dev, aux, _ = self._inflight.popleft()
-            out = unpack_u8(np.asarray(img_dev))
+            fut, aux, _ = self._inflight.popleft()
+            out = unpack_u8(fut.result())
         return out
 
     def _update_stats(self, aux) -> None:

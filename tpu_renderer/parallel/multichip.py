@@ -30,11 +30,41 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from tpu_renderer.kernels import background as bg
 from tpu_renderer.kernels import raster, shade, vertex
 from tpu_renderer.kernels.common import pad_extent
 from tpu_renderer.pipeline import FrameParams, SceneBuffers
 from tpu_renderer.present import to_packed_u32
+
+
+def ensure_devices(n: int) -> None:
+    """Make at least n JAX devices visible, bootstrapping n virtual CPU host
+    devices when the backend exposes fewer (the usual case: one real chip).
+    Resets an already-initialized backend the same way tests/conftest.py
+    does; call BEFORE creating any array you intend to keep."""
+    import os
+
+    if len(jax.devices()) >= n:
+        return
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={n}").strip()
+    jax.config.update("jax_platforms", "cpu")
+    try:
+        from jax._src import xla_bridge as _xb
+
+        _xb._clear_backends()
+        for _fn in ("get_backend", "local_devices", "process_count"):
+            try:
+                getattr(_xb, _fn).cache_clear()
+            except Exception:
+                pass
+    except Exception:  # private API moved; backend may be fresh already
+        pass
+    jax.config.update("jax_num_cpu_devices", n)
+    assert len(jax.devices()) >= n, (
+        f"virtual-device bootstrap failed: need {n}, have {len(jax.devices())}")
 
 
 def make_mesh(n_rows: int, n_tri: int = 1, devices=None) -> Mesh:
@@ -59,40 +89,26 @@ def _shift_aabb_y(aabb, y0):
     return aabb.at[:, 1].add(-y0).at[:, 3].add(-y0)
 
 
-def _background_band(params, y0, band_h: int, wp: int, height: int):
-    """jnp backgrounds with a global row offset (band-local evaluation)."""
-    yy = (jnp.arange(band_h, dtype=jnp.float32)[:, None] + y0)
-    yy = jnp.broadcast_to(yy, (band_h, wp))
-    xx = jnp.broadcast_to(jnp.arange(wp, dtype=jnp.float32)[None, :], (band_h, wp))
-
-    def grad(_):
-        blend = yy / jnp.float32(height)
-        d1 = params.bg_data1
-        d2 = params.bg_data2
-        return d1[:, None, None] * (1 - blend)[None] + d2[:, None, None] * blend[None]
-
-    def sky(_):
-        d = params.bg_data1
-        cr, cg, cb = bg._sky_math(xx, yy, (d[0], d[1], d[2], d[3]), height)
-        return jnp.stack([cr, cg, cb, jnp.ones_like(cr)])
-
-    return jax.lax.switch(jnp.clip(params.bg_effect, 0, 1), [grad, sky], 0)
-
-
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "width", "height", "tile_h", "tile_w",
                      "bin_cap", "tri_cap", "fp16", "transp_textured",
-                     "fused"),
+                     "fused", "trilinear", "out_width", "out_height"),
 )
 def render_frame_multichip(buffers: SceneBuffers, params: FrameParams, *,
                            mesh: Mesh, width: int, height: int,
                            tile_h: int = 32, tile_w: int = 128,
                            bin_cap: int = 256,
                            tri_cap: int = 1024, fp16: bool = True,
-                           transp_textured: bool = True, fused: bool = True):
+                           transp_textured: bool = True, fused: bool = True,
+                           trilinear: bool = True,
+                           out_width: int = None, out_height: int = None):
     """Sharded frame: scene replicated, framebuffer sharded over 'rows',
-    triangles sharded over 'tri'. Returns the (H, W) u32 packed-RGBA image."""
+    triangles sharded over 'tri'. Returns the (H, W) u32 packed-RGBA image.
+
+    trilinear / out_width / out_height mirror the single-chip render_frame
+    statics: the single-tap fast path and the live render-scale upscale blit
+    (applied after the bands gather) work identically under the mesh."""
     n_rows = mesh.shape["rows"]
     n_tri = mesh.shape["tri"]
     wp, hp = pad_extent(width, height, tile_h, tile_w * 1)
@@ -124,20 +140,23 @@ def render_frame_multichip(buffers: SceneBuffers, params: FrameParams, *,
     def q(x):
         return x.astype(jnp.float16).astype(jnp.float32) if fp16 else x
 
+    from tpu_renderer.pipeline import _background
+
+    bg_full = q(_background(params, hp, wp, height))
+
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P(), P(), P("tri"), P("tri"), P("tri"),
-                  P("tri"), P("tri"), P("tri")),
+        in_specs=(P(), P(), P(None, "rows", None), P("tri"), P("tri"),
+                  P("tri"), P("tri"), P("tri"), P("tri")),
         out_specs=P(None, "rows", None),
         check_vma=False,
     )
-    def band_render(buffers, params, ov, od, oval, tv, td, tval):
+    def band_render(buffers, params, fb, ov, od, oval, tv, td, tval):
         row = jax.lax.axis_index("rows")
         tri_idx = jax.lax.axis_index("tri")
         y0 = (row * band_h).astype(jnp.float32)
 
         viewproj = (params.proj @ params.view).astype(jnp.float32)
-        fb = q(_background_band(params, y0, band_h, wp, height))
 
         vis = vertex.draw_visibility(viewproj, buffers.draw_model,
                                      buffers.draw_bounds_origin,
@@ -195,7 +214,8 @@ def render_frame_multichip(buffers: SceneBuffers, params: FrameParams, *,
             shaded = shade.shade_fused(
                 planes[:na], planes[na:na + nm], planes[na + nm],
                 buffers.atlas, params.ambient[:3],
-                params.sun_dir[:3], params.sun_color[3])
+                params.sun_dir[:3], params.sun_color[3],
+                trilinear=trilinear)
             valid = tid_win >= 0
             rgb = jnp.where(valid[None], shaded, fb[:3])
             alpha = jnp.where(valid, jnp.float32(1.0), fb[3])
@@ -216,7 +236,8 @@ def render_frame_multichip(buffers: SceneBuffers, params: FrameParams, *,
             rows_all = jax.lax.all_gather(rows_local, "tri", axis=0, tiled=True)
             fb = q(shade.shade(tid, rows_all, buffers.atlas,
                                params.ambient[:3], params.sun_dir[:3],
-                               params.sun_color[3], fb))
+                               params.sun_color[3], fb,
+                               trilinear=trilinear))
 
         # transparent: additive => psum partial contributions over 'tri'
         # (the same order-independent-sum semantics as the single-chip path;
@@ -253,7 +274,8 @@ def render_frame_multichip(buffers: SceneBuffers, params: FrameParams, *,
                         src = shade.shade_fused(
                             attrs_px, meta_px, inv_px, buffers.atlas,
                             params.ambient[:3], params.sun_dir[:3],
-                            params.sun_color[3], textured=transp_textured)
+                            params.sun_color[3], textured=transp_textured,
+                            trilinear=trilinear)
                     else:
                         layer = raster.rasterize_peel(
                             packed_tl, bins_t, counts_t, z, last,
@@ -264,7 +286,8 @@ def render_frame_multichip(buffers: SceneBuffers, params: FrameParams, *,
                         src = shade.shade_core(
                             tl_layer, rows_t, buffers.atlas,
                             params.ambient[:3], params.sun_dir[:3],
-                            params.sun_color[3], textured=transp_textured)
+                            params.sun_color[3], textured=transp_textured,
+                            trilinear=trilinear)
                     src = jnp.where(found[None], src, 0.0)
                     delta = delta + src
                     cnt = cnt + found.astype(jnp.int32)
@@ -286,5 +309,13 @@ def render_frame_multichip(buffers: SceneBuffers, params: FrameParams, *,
 
         return fb
 
-    fb = band_render(buffers, params, ov, od, oval, tv, td, tval)
+    fb = band_render(buffers, params, bg_full, ov, od, oval, tv, td, tval)
+    assert (out_width is None) == (out_height is None)
+    if out_width is not None and (out_width, out_height) != (width, height):
+        # live render-scale: linear upscale blit to the window extent, after
+        # the row bands gather (vkCmdBlitImage2 VK_FILTER_LINEAR semantics,
+        # vk_images.cpp:33-64)
+        up = jax.image.resize(fb[:, :height, :width],
+                              (4, out_height, out_width), method="linear")
+        return to_packed_u32(up, width=out_width, height=out_height)
     return to_packed_u32(fb, width=width, height=height)

@@ -137,7 +137,7 @@ def run_viewer(eng, n_frames: Optional[int] = None,
             # submitted FRAME_OVERLAP-1 calls ago (the reference's
             # 3-frames-in-flight loop, vk_engine.cpp:1226-1240); the first
             # couple of calls fill the pipeline and present nothing yet
-            img = eng.draw_pipelined(hud=False)
+            img = eng.draw_pipelined(hud=False, present_cells=(cols, rows))
             if img is not None:
                 text = frame_to_halfblocks(img, cols, rows)
                 out.write(f"{ESC}[H" + text + "\n")
