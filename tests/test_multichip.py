@@ -116,3 +116,88 @@ def test_multichip_textured_transparent_unbounded(fused):
                                    fused=fused)
     diff = np.abs(np.asarray(multi).astype(int) - np.asarray(single).astype(int))
     assert diff.max() <= 1, f"max u8 diff {diff.max()}"
+
+
+def _trilinear_textured_scene():
+    from tpu_renderer import resources, scene as sm
+
+    tex = np.zeros((16, 16, 4), np.uint8)
+    tex[::2, :, 0] = 255
+    tex[:, ::2, 1] = 255
+    tex[..., 3] = 255
+    scene = milestones.textured_quad_scene(tex, nearest=False, mipmapped=True)
+    m = scene.materials[-1]
+    m.filter_flags = (sm.DEFAULT_SAMPLER_LINEAR_FLAGS
+                      | resources.FILTER_MIP_LINEAR)
+    return scene
+
+
+@pytest.mark.parametrize(
+    "fused", [pytest.param(True, marks=pytest.mark.slow), False])
+def test_multichip_trilinear_textured(fused):
+    """The two-tap trilinear sampler path (the reference's DEFAULT mipmap
+    mode, vk_loader.cpp:43-54) must compose identically under the mesh."""
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough devices")
+    flat = flatten_scene(_trilinear_textured_scene())
+    params = _params()
+    single, _ = render_frame(flat.buffers, params, width=W, height=H,
+                             bin_cap=128, fused=fused, trilinear=True)
+    mesh = make_mesh(2, 2)
+    multi = render_frame_multichip(flat.buffers, params, mesh=mesh,
+                                   width=W, height=H,
+                                   bin_cap=128, fused=fused, trilinear=True)
+    np.testing.assert_array_equal(np.asarray(multi), np.asarray(single))
+
+
+def test_multichip_render_scale_out_extent():
+    """Live render-scale under the mesh: draw at (W, H), upscale-blit to
+    (2W, 2H) after the bands gather — must match the single-chip blit."""
+    if len(jax.devices()) < 2:
+        pytest.skip("not enough devices")
+    scene = milestones.colored_quad_scene(z0=0.4, z1=0.7)
+    flat = flatten_scene(scene)
+    params = _params()
+    single, _ = render_frame(flat.buffers, params, width=W, height=H,
+                             bin_cap=128, fused=False,
+                             out_width=2 * W, out_height=2 * H)
+    mesh = make_mesh(2, 1)
+    multi = render_frame_multichip(flat.buffers, params, mesh=mesh,
+                                   width=W, height=H,
+                                   bin_cap=128, fused=False,
+                                   out_width=2 * W, out_height=2 * H)
+    assert multi.shape == (2 * H, 2 * W)
+    np.testing.assert_array_equal(np.asarray(multi), np.asarray(single))
+
+
+def test_engine_multichip_product_path():
+    """Engine(config.multichip) routes draw() through the sharded renderer
+    and matches the single-chip engine pixel-exactly."""
+    from tpu_renderer.config import RendererConfig
+    from tpu_renderer.engine import Engine
+
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough devices")
+    import tpu_renderer.milestones as ms
+
+    base = dict(width=W, height=H, fused=False,
+                **ms.UNLIT_CONFIG_OVERRIDES)
+    scene = ms.colored_quad_scene(z0=0.4, z1=0.7)
+    eng1 = Engine(RendererConfig(**base))
+    eng1.init(scene=scene)
+    img1 = eng1.draw()
+    eng2 = Engine(RendererConfig(multichip=(2, 2), **base))
+    eng2.init(scene=ms.colored_quad_scene(z0=0.4, z1=0.7))
+    assert eng2.mesh is not None and eng2.mesh.shape == {"rows": 2, "tri": 2}
+    img2 = eng2.draw()
+    np.testing.assert_array_equal(img2, img1)
+    assert eng2.stats.triangle_count == 2  # static scene totals (no aux)
+
+
+@pytest.mark.slow
+def test_cli_benchmark_multichip():
+    from tpu_renderer import cli
+
+    rc = cli.main(["benchmark", "--grid", "2", "--width", "256",
+                   "--height", "64", "--frames", "2", "--multichip", "2x2"])
+    assert rc == 0

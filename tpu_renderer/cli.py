@@ -35,6 +35,23 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--render-scale", type=float, default=1.0,
                    help="draw-extent scale; <1 renders fewer pixels and "
                         "linear-blits up (vk_engine.cpp:1220-1222 made live)")
+    p.add_argument("--multichip", default=None, metavar="ROWSxTRI",
+                   help="shard the frame over a ROWSxTRI device mesh "
+                        "(e.g. 2x4): framebuffer row bands over 'rows', "
+                        "triangles over 'tri'; bootstraps virtual CPU "
+                        "devices when the backend has fewer")
+
+
+def _parse_multichip(args):
+    s = getattr(args, "multichip", None)
+    if not s:
+        return None
+    try:
+        rows, tri = (int(v) for v in s.lower().split("x"))
+        assert rows >= 1 and tri >= 1
+    except Exception:
+        raise SystemExit(f"bad --multichip {s!r}: expected ROWSxTRI, e.g. 2x4")
+    return rows, tri
 
 
 def _make_engine(args, camera_default=(30.0, 0.0, -85.0)) -> Engine:
@@ -42,7 +59,8 @@ def _make_engine(args, camera_default=(30.0, 0.0, -85.0)) -> Engine:
     cfg = RendererConfig(width=args.width, height=args.height,
                          camera_position=cam,
                          background_effect=args.background,
-                         render_scale=getattr(args, "render_scale", 1.0))
+                         render_scale=getattr(args, "render_scale", 1.0),
+                         multichip=_parse_multichip(args))
     eng = Engine(cfg)
     eng.camera.yaw = np.float32(args.yaw)
     eng.camera.pitch = np.float32(args.pitch)
@@ -131,7 +149,8 @@ def cmd_benchmark(args) -> int:
     cfg = RendererConfig(width=args.width, height=args.height,
                          camera_position=camera,
                          background_effect=args.background,
-                         render_scale=getattr(args, "render_scale", 1.0))
+                         render_scale=getattr(args, "render_scale", 1.0),
+                         multichip=_parse_multichip(args))
     eng = Engine(cfg)
     eng.camera.pitch = np.float32(args.pitch - 0.15)
     eng.camera.yaw = np.float32(args.yaw)
@@ -178,7 +197,8 @@ def cmd_view(args) -> int:
     cfg = RendererConfig(width=args.width, height=args.height,
                          camera_position=camera,
                          background_effect=args.background,
-                         render_scale=getattr(args, "render_scale", 1.0))
+                         render_scale=getattr(args, "render_scale", 1.0),
+                         multichip=_parse_multichip(args))
     eng = Engine(cfg)
     eng.camera.pitch = np.float32(args.pitch - 0.15)
     eng.init(scene_path=path)

@@ -67,6 +67,13 @@ class RendererConfig:
     # multichip composite comparison.
     fused: bool = True
 
+    # --- Multi-chip scale-out (no reference counterpart; SURVEY §2.4) ---
+    # (rows, tri): shard the framebuffer row bands over 'rows' devices and
+    # the triangle list over 'tri' devices (parallel/multichip.py). None =
+    # single-chip. When the backend exposes fewer than rows*tri devices,
+    # Engine.init bootstraps a virtual CPU mesh (ensure_devices).
+    multichip: Tuple[int, int] | None = None
+
     # --- Render scale (vk_engine.cpp:1220-1222) ---
     # The reference computes _draw_extent from _render_scale and then
     # overwrites it (dead code, vk_engine.cpp:1251-1252); here the knob is

@@ -57,6 +57,16 @@ class Engine:
     def init(self, scene_path: Optional[str] = None,
              scene: Optional[scene_mod.LoadedScene] = None,
              variant=None) -> None:
+        if self.config.multichip is not None:
+            # bootstrap the device mesh BEFORE any scene array lands on a
+            # device (ensure_devices may reset the backend)
+            from tpu_renderer.parallel import multichip as mc
+
+            rows, tri = self.config.multichip
+            mc.ensure_devices(rows * tri)
+            self.mesh = mc.make_mesh(rows, tri)
+        else:
+            self.mesh = None
         if scene is not None:
             self.scene = scene
         elif scene_path is not None:
@@ -87,6 +97,8 @@ class Engine:
         # once — fetching the mask arrays per frame is host-transfer waste)
         self._n_transp_draws = int(np.sum(~np.asarray(b.draw_opaque_mask)))
         self._n_transp_tris = int(np.sum(np.asarray(b.transp_tri_valid)))
+        self._n_opaque_draws = int(np.sum(np.asarray(b.draw_opaque_mask)))
+        self._n_opaque_tris = int(np.sum(np.asarray(b.opaque_tri_valid)))
         # static: does ANY material trilinear-blend two mip levels? If not,
         # the shade stage drops its second tap gather entirely (~8-25 ms at
         # 1080p — see shade.sample_texture)
@@ -145,16 +157,34 @@ class Engine:
         if params is None:
             params = self.update_scene()
         cfg = self.config
-        image, aux = render_frame(
-            self.flat.buffers, params,
-            tile_h=cfg.tile_h, tile_w=cfg.tile_w,
-            fp16=cfg.framebuffer_fp16,
-            transp_textured=self._transp_textured(),
-            fused=cfg.fused,
-            trilinear=self._trilinear,
-            **self._extents(),
-            **self._caps,
-        )
+        if getattr(self, "mesh", None) is not None:
+            # sharded product path: same statics, composited over the mesh
+            # (returns no aux counters — sharded frames keep device scalars
+            # out of the composite; stats fall back to the static counts)
+            from tpu_renderer.parallel.multichip import render_frame_multichip
+
+            image = render_frame_multichip(
+                self.flat.buffers, params, mesh=self.mesh,
+                tile_h=cfg.tile_h, tile_w=cfg.tile_w,
+                fp16=cfg.framebuffer_fp16,
+                transp_textured=self._transp_textured(),
+                fused=cfg.fused,
+                trilinear=self._trilinear,
+                **self._extents(),
+                **self._caps,
+            )
+            aux = {}
+        else:
+            image, aux = render_frame(
+                self.flat.buffers, params,
+                tile_h=cfg.tile_h, tile_w=cfg.tile_w,
+                fp16=cfg.framebuffer_fp16,
+                transp_textured=self._transp_textured(),
+                fused=cfg.fused,
+                trilinear=self._trilinear,
+                **self._extents(),
+                **self._caps,
+            )
         self.frame_number += 1
         self._last_aux = aux
         return image, aux
@@ -293,9 +323,13 @@ class Engine:
         vals = np.asarray(jnp.stack([aux[k].astype(jnp.int32) for k in keys])) \
             if keys else np.zeros(0, np.int32)
         a = dict(zip(keys, vals.tolist()))
-        self.stats.triangle_count = (a.get("opaque_triangles", 0)
+        # sharded frames carry no aux counters: report the static pre-cull
+        # scene totals instead of the per-frame visible counts
+        self.stats.triangle_count = (a.get("opaque_triangles",
+                                           self._n_opaque_tris)
                                      + self._n_transp_tris)
-        self.stats.drawcall_count = (a.get("visible_opaque_draws", 0)
+        self.stats.drawcall_count = (a.get("visible_opaque_draws",
+                                           self._n_opaque_draws)
                                      + self._n_transp_draws)
         chunk_of = (a.get("bin_overflow", 0)
                     + a.get("bin_overflow_transparent", 0))
