@@ -111,6 +111,38 @@ def test_slab_raster_matches_single_call():
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
 
 
+def test_spatial_sorted_raster_matches_unsorted():
+    """Rastering in spatial_sort order must produce the same framebuffer as
+    submission order: plane evaluations are per-triangle, so with no exact
+    z-ties between distinct triangles (true of this scene) the depth test
+    picks the same winner regardless of walk order. tid maps back through
+    the permutation."""
+    scene = _multi_quad_scene(40)
+    s, rows, cbins, ccounts = _setup(scene)
+    caabb, cvalid = raster.chunk_aabbs(s.aabb, s.valid)
+    bins_full, counts_full = raster.bin_triangles_full(caabb, cvalid, **KW)
+    z1, t1, a1, m1, i1 = raster.rasterize_fused_slabs(
+        rows, bins_full, counts_full, **KW)
+
+    T = rows.shape[0]
+    aabb_s, valid_s, rows_s, orig = raster.spatial_sort(
+        s.aabb, s.valid, rows, jnp.arange(T, dtype=jnp.int32))
+    caabb_s, cvalid_s = raster.chunk_aabbs(aabb_s, valid_s)
+    bins_s, counts_s = raster.bin_triangles_full(caabb_s, cvalid_s, **KW)
+    # sorting must tighten (or at least not loosen) the chunk-bin entries
+    assert int(counts_s.sum()) <= int(counts_full.sum())
+    z2, t2, a2, m2, i2 = raster.rasterize_fused_slabs(
+        rows_s, bins_s, counts_s, **KW)
+
+    np.testing.assert_array_equal(np.asarray(z1), np.asarray(z2))
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    t2n = np.asarray(t2)
+    mapped = np.where(t2n >= 0, np.asarray(orig)[np.clip(t2n, 0, T - 1)], -1)
+    np.testing.assert_array_equal(np.asarray(t1), mapped)
+
+
 def test_slab_accum_matches_single_call():
     s, rows, cbins, ccounts, bins_full, counts_full = _full_setup(
         _multi_quad_scene(40))

@@ -1,0 +1,86 @@
+"""Time rasterize_fused_slabs on the demo/stress scenes, both sort orders.
+
+Signature-agnostic (works on both the windowed and pre-window kernel), so
+it can A/B the working tree against HEAD via git stash.
+"""
+import os
+import sys
+import tempfile
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/tpu_renderer_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tpu_renderer.utils.demo import build_demo_glb
+from tpu_renderer.engine import Engine
+from tpu_renderer.config import RendererConfig
+from tpu_renderer.kernels import raster, shade, vertex
+
+W, H = 1920, 1080
+TILE_W, TILE_H = 128, 32
+TX, TY = W // TILE_W, (H + TILE_H - 1) // TILE_H
+KW = dict(tiles_x=TX, tiles_y=TY, tile_w=TILE_W, tile_h=TILE_H)
+
+
+def setup_scene(grid, seed=0):
+    path = os.path.join(tempfile.gettempdir(), f"ab_scene_{grid}.glb")
+    if not os.path.exists(path):
+        build_demo_glb(path, grid=grid, seed=seed)
+    eng = Engine(RendererConfig(width=W, height=H))
+    eng.init(scene_path=path)
+    params = eng.update_scene()
+    b = eng.flat.buffers
+    viewproj = params.proj @ params.view
+    vis = vertex.draw_visibility(viewproj, b.draw_model,
+                                 b.draw_bounds_origin, b.draw_bounds_extents)
+    s = vertex.triangle_setup(
+        b.positions, b.normals, b.colors, b.uvs,
+        b.opaque_tri_vidx, b.opaque_tri_draw, b.opaque_tri_valid,
+        b.draw_model, vis, b.draw_mat, b.mat_color_factors, viewproj,
+        W, H, sun_dir=params.sun_dir[:3])
+    rows = shade.build_shade_rows(s.packed, s.attrs, b.mat_meta)
+    return s.aabb, s.valid, rows
+
+
+def bin_set(aabb, valid, rows, sort):
+    if sort and hasattr(raster, "spatial_sort"):
+        aabb, valid, rows = raster.spatial_sort(aabb, valid, rows)
+    caabb, cvalid = raster.chunk_aabbs(aabb, valid)
+    out = raster.bin_triangles_full(caabb, cvalid, **KW)
+    bins, counts = out[0], out[1]
+    return rows, bins, counts
+
+
+def time_variant(fn, iters=30):
+    r = fn()
+    jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = fn()
+    jax.block_until_ready(r)
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def main():
+    jit = jax.jit(lambda r, b, c: raster.rasterize_fused_slabs(
+        r, b, c, **KW)[0])
+    tag = os.environ.get("AB_TAG", "?")
+    for grid, label in [(64, "demo"), (128, "stress")]:
+        aabb, valid, rows0 = setup_scene(grid)
+        for sort in (False, True):
+            if sort and not hasattr(raster, "spatial_sort"):
+                continue
+            rows, bins, counts = bin_set(aabb, valid, rows0, sort)
+            t = time_variant(lambda: jit(rows, bins, counts))
+            print(f"[{tag}][{label} {'sorted' if sort else 'unsorted'}] "
+                  f"raster={t:.2f} ms")
+
+
+if __name__ == "__main__":
+    main()

@@ -100,7 +100,11 @@ def main():
             if upto == 1:
                 return checksum(setup.packed) + checksum(setup.attrs)
 
-            caabb, cvalid = raster.chunk_aabbs(setup.aabb, setup.valid)
+            rows0 = shade.build_shade_rows(setup.packed, setup.attrs,
+                                           buffers.mat_meta)
+            aabb_s, valid_s, rows_s = raster.spatial_sort(
+                setup.aabb, setup.valid, rows0)
+            caabb, cvalid = raster.chunk_aabbs(aabb_s, valid_s)
             cbins, ccounts = raster.bin_triangles_full(
                 caabb, cvalid, tiles_x=tiles_x, tiles_y=tiles_y,
                 tile_w=tile_w, tile_h=tile_h)
@@ -110,10 +114,8 @@ def main():
             if upto == 3:  # (refine no longer on the fused path)
                 return checksum(cbins.astype(jnp.float32))
 
-            rows = shade.build_shade_rows(setup.packed, setup.attrs,
-                                          buffers.mat_meta)
             z, tid, attrs_px, meta_px, inv_px = raster.rasterize_fused_slabs(
-                rows, cbins, ccounts,
+                rows_s, cbins, ccounts,
                 tiles_x=tiles_x, tiles_y=tiles_y, tile_w=tile_w, tile_h=tile_h)
             if upto == 4:
                 return checksum(z) + checksum(tid.astype(jnp.float32))

@@ -90,6 +90,33 @@ def pad_for_raster(packed, aabb, valid):
     return packed, aabb, valid
 
 
+def spatial_sort(aabb, valid, *payloads):
+    """Reorder triangles by screen-space (8-row band, 32-px column) so CHUNK
+    groups get TIGHT chunk AABBs.
+
+    Submission order groups triangles by mesh (a cube = 12 tris), so CHUNK=8
+    chunks straddle primitives and their AABBs span whole tiles — measured
+    9+ tile hits per chunk on the demo scene. Sorting by
+    (floor(ymin)>>3, floor(xmin)>>5) packs each chunk into a ~8-px-tall
+    screen band and the chunk-bin entry count collapses (52.5k -> 34.7k on
+    the demo scene; raster 35.1 -> 24.0 ms, sort itself ~1.6 ms).
+    Safe for depth-tested opaque geometry: the
+    result is order-independent except exact z-ties (the GPU's raster has
+    no submission-order guarantee between overlapping equal-z fragments
+    either). The sort is stable, so same-band triangles keep submission
+    order. Invalid triangles sort to the end (their chunks bin nowhere).
+
+    Returns (aabb, valid, *payloads) all reordered by the same permutation.
+    """
+    y0 = jnp.floor(aabb[:, 1]).astype(jnp.int32)
+    x0 = jnp.floor(aabb[:, 0]).astype(jnp.int32)
+    key = (jnp.clip(y0 >> 3, 0, (1 << 20) - 1) * 1024
+           + jnp.clip(x0 >> 5, 0, 1023))
+    key = jnp.where(valid, key, jnp.int32(2 ** 31 - 1))
+    order = jnp.argsort(key)  # stable: same-band keeps submission order
+    return (aabb[order], valid[order]) + tuple(p[order] for p in payloads)
+
+
 def chunk_aabbs(aabb, valid):
     """(T,4) per-tri AABBs -> (T/CHUNK, 4) chunk AABBs (+ chunk validity)."""
     T = aabb.shape[0]
@@ -120,6 +147,13 @@ def _dense_sorted_hits(aabb, valid, *, tiles_x: int, tiles_y: int,
     T + slot. Returns (key_sorted (n_tiles, T) i32, counts (n_tiles,) i32
     exact per-tile hit counts). Shared by bin_triangles (capped) and
     bin_triangles_full (uncapped).
+
+    (A per-entry row-window payload — each entry's 8-row-aligned tile
+    sub-band, letting the raster evaluate only that band — was built and
+    measured a net LOSS: even after spatial_sort, 95%+ of chunk AABBs span
+    the full 32-row tile on both bench scenes, and the per-entry
+    lax.switch cost ~4%. Tightening bin entries via spatial_sort is the
+    lever that works; see tools/ab_kernel.py.)
     """
     T = aabb.shape[0]
     n_tiles = tiles_x * tiles_y
@@ -821,9 +855,9 @@ def _walk_bins_cols(counts_ref, bins_ref, rows_hbm, scratch_ref, sem_ref,
     return state
 
 
-def _chunks_stream_loop(counts_ref, bins_ref, rows_hbm, scratch_ref, sem_ref,
-                        init_state, *, tiles_x: int, tile_h: int,
-                        tile_w: int):
+def _chunks_stream_loop(counts_ref, bins_ref, rows_hbm,
+                        scratch_ref, sem_ref, refs, *, tiles_x: int,
+                        tile_h: int, tile_w: int):
     """Shared chunk-streaming raster loop (fused visibility + attributes).
 
     Instead of an XLA-side (n_tiles, tri_cap) row gather (pays per dead slot
@@ -832,97 +866,107 @@ def _chunks_stream_loop(counts_ref, bins_ref, rows_hbm, scratch_ref, sem_ref,
     copy of chunk k+1 overlaps the raster of chunk k. The loop bound is the
     tile's REAL chunk count — empty tiles cost nothing.
 
-    init_state/return: (z, tid, csum, nums x8, metas x6) tile planes with
-    csum/nums PRE-divide (the perspective divide happens in XLA after the
-    last slab — see rasterize_fused_slabs).
+    The framebuffer state (z, tid, csum, nums x8, metas x6; csum/nums
+    PRE-divide — the perspective divide happens in XLA after the last slab,
+    see rasterize_fused_slabs) lives directly in the VMEM out refs and is
+    read-modify-written per chunk — measured ~6% faster than carrying the
+    21 planes as fori_loop state through the bin walk.
     """
     i = pl.program_id(0)
     j = pl.program_id(1)
     tile = i * tiles_x + j
-    X, Y = _tile_coords(i, j, tile_h, tile_w)
+    z_ref, tid_ref, cs_ref, nums_ref, metas_ref = refs
+
+    # pixel-center coordinate planes, hoisted out of the walk
+    yy = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
+    X = (xx + j * tile_w).astype(jnp.float32) + jnp.float32(0.5)
+    Y = (yy + i * tile_h).astype(jnp.float32) + jnp.float32(0.5)
+
+    def eval_chunk(base, tid_base):
+        z = z_ref[:, :]
+        tid = tid_ref[:, :]
+        takes = []
+        covs = []
+        for t in range(CHUNK):
+            r = lambda col, _t=t: scratch_ref[base + _t, col]  # noqa: E731
+            e0a, e0b = r(0), r(1)
+            e1a, e1b = r(3), r(4)
+            e2a, e2b = r(6), r(7)
+            c0v = e0a * X + e0b * Y + r(2)
+            c1v = e1a * X + e1b * Y + r(5)
+            c2v = e2a * X + e2b * Y + r(8)
+            zv = r(9) * X + r(10) * Y + r(11)
+            cov = ((c0v >= _edge_bound(e0a, e0b))
+                   & (c1v >= _edge_bound(e1a, e1b))
+                   & (c2v >= _edge_bound(e2a, e2b))
+                   & (zv <= 1.0))
+            # padding rows inside a partially-valid chunk have zero edge
+            # planes (never covered), so no (k < n)-style mask per tri;
+            # zv >= 0 is subsumed by zv >= z (z starts at DEPTH_CLEAR=0
+            # and only ever takes values that passed that test)
+            take = cov & (zv >= z)
+            z = jnp.where(take, zv, z)
+            tid = jnp.where(take, tid_base + t, tid)
+            takes.append(take)
+            covs.append((c0v, c1v, c2v))
+
+        z_ref[:, :] = z
+        tid_ref[:, :] = tid
+
+        group_any = takes[0]
+        for t in takes[1:]:
+            group_any = group_any | t
+
+        # per-chunk attr skip measured: 12.5 FPS with vs 9.9 without
+        # on the demo bench (whole chunks often miss a tile's pixels)
+        @pl.when(jnp.any(group_any))
+        def _():
+            csum = cs_ref[:, :]
+            nums = [nums_ref[a, :, :] for a in range(N_ATTR)]
+            metas = [metas_ref[m, :, :] for m in range(N_META)]
+            for t in range(CHUNK):
+                r = lambda col, _t=t: scratch_ref[base + _t, col]  # noqa: E731
+                take = takes[t]
+                c0v, c1v, c2v = covs[t]
+                csum = jnp.where(take, c0v + c1v + c2v, csum)
+                for a in range(N_ATTR):
+                    num = (c0v * r(13 + a) + c1v * r(19 + a)
+                           + c2v * r(25 + a))
+                    nums[a] = jnp.where(take, num, nums[a])
+                for m in range(N_META):
+                    metas[m] = jnp.where(take, r(31 + m), metas[m])
+            cs_ref[:, :] = csum
+            for a in range(N_ATTR):
+                nums_ref[a, :, :] = nums[a]
+            for m in range(N_META):
+                metas_ref[m, :, :] = metas[m]
 
     def eval_entry(cid, base, carry):
         # global triangle ids are sequential within the chunk: compute
         # cid*CHUNK + t instead of loading+casting row column 47 (scalar
         # loads are not CSE'd — every column is loaded exactly once below)
-        tid_base = cid * CHUNK
-
-        def eval_chunk(carry):
-            z, tid, csum, nums, metas = carry
-            takes = []
-            covs = []
-            for t in range(CHUNK):
-                r = lambda col, _t=t: scratch_ref[base + _t, col]  # noqa: E731
-                e0a, e0b = r(0), r(1)
-                e1a, e1b = r(3), r(4)
-                e2a, e2b = r(6), r(7)
-                c0v = e0a * X + e0b * Y + r(2)
-                c1v = e1a * X + e1b * Y + r(5)
-                c2v = e2a * X + e2b * Y + r(8)
-                zv = r(9) * X + r(10) * Y + r(11)
-                cov = ((c0v >= _edge_bound(e0a, e0b))
-                       & (c1v >= _edge_bound(e1a, e1b))
-                       & (c2v >= _edge_bound(e2a, e2b))
-                       & (zv <= 1.0))
-                # padding rows inside a partially-valid chunk have zero edge
-                # planes (never covered), so no (k < n)-style mask per tri;
-                # zv >= 0 is subsumed by zv >= z (z starts at DEPTH_CLEAR=0
-                # and only ever takes values that passed that test)
-                take = cov & (zv >= z)
-                z = jnp.where(take, zv, z)
-                tid = jnp.where(take, tid_base + t, tid)
-                takes.append(take)
-                covs.append((c0v, c1v, c2v))
-
-            group_any = takes[0]
-            for t in takes[1:]:
-                group_any = group_any | t
-
-            def attr_taken(args):
-                csum, nums, metas = args
-                for t in range(CHUNK):
-                    r = lambda col, _t=t: scratch_ref[base + _t, col]  # noqa: E731
-                    take = takes[t]
-                    c0v, c1v, c2v = covs[t]
-                    csum = jnp.where(take, c0v + c1v + c2v, csum)
-                    new_nums = []
-                    for a in range(N_ATTR):
-                        num = (c0v * r(13 + a) + c1v * r(19 + a)
-                               + c2v * r(25 + a))
-                        new_nums.append(jnp.where(take, num, nums[a]))
-                    nums = tuple(new_nums)
-                    metas = tuple(
-                        jnp.where(take, r(31 + m), metas[m])
-                        for m in range(N_META))
-                return csum, nums, metas
-
-            # per-chunk attr skip measured: 12.5 FPS with vs 9.9 without
-            # on the demo bench (whole chunks often miss a tile's pixels)
-            csum, nums, metas = jax.lax.cond(
-                jnp.any(group_any), attr_taken, lambda args: args,
-                (csum, nums, metas))
-            return z, tid, csum, nums, metas
-
+        #
         # (A hierarchical-z chunk skip — conservative chunk zmax vs a
         # per-chunk jnp.min(z) reduce — was measured a net LOSS on both the
         # demo and stress scenes: the reduce + branch overhead exceeds the
         # savings under this draw order. Eval unconditionally.)
-        return eval_chunk(carry)
+        eval_chunk(base, cid * CHUNK)
+        return carry
 
-    return _walk_bins_cols(counts_ref, bins_ref, rows_hbm, scratch_ref,
-                           sem_ref, tile, eval_entry, init_state)
+    _walk_bins_cols(counts_ref, bins_ref, rows_hbm, scratch_ref,
+                    sem_ref, tile, eval_entry, 0)
 
 
-def _write_state(refs, state):
+def _clear_state(refs, tile_h: int, tile_w: int):
     z_ref, tid_ref, cs_ref, nums_ref, metas_ref = refs
-    z1, tid1, cs1, nums1, metas1 = state
-    z_ref[:, :] = z1
-    tid_ref[:, :] = tid1
-    cs_ref[:, :] = cs1
+    z_ref[:, :] = jnp.full((tile_h, tile_w), DEPTH_CLEAR, jnp.float32)
+    tid_ref[:, :] = jnp.full((tile_h, tile_w), NO_TRI, jnp.int32)
+    cs_ref[:, :] = jnp.ones((tile_h, tile_w), jnp.float32)
     for a in range(N_ATTR):
-        nums_ref[a, :, :] = nums1[a]
+        nums_ref[a, :, :] = jnp.zeros((tile_h, tile_w), jnp.float32)
     for m in range(N_META):
-        metas_ref[m, :, :] = metas1[m]
+        metas_ref[m, :, :] = jnp.zeros((tile_h, tile_w), jnp.float32)
 
 
 def _raster_chunks_fresh_kernel(counts_ref, bins_ref, rows_hbm,
@@ -930,19 +974,11 @@ def _raster_chunks_fresh_kernel(counts_ref, bins_ref, rows_hbm,
                                 scratch_ref, sem_ref, *,
                                 tiles_x: int, tile_h: int, tile_w: int):
     """First slab: fresh framebuffer state (cleared z/tid, identity csum)."""
-    init = (
-        jnp.full((tile_h, tile_w), DEPTH_CLEAR, jnp.float32),
-        jnp.full((tile_h, tile_w), NO_TRI, jnp.int32),
-        jnp.ones((tile_h, tile_w), jnp.float32),
-        tuple(jnp.zeros((tile_h, tile_w), jnp.float32)
-              for _ in range(N_ATTR)),
-        tuple(jnp.zeros((tile_h, tile_w), jnp.float32)
-              for _ in range(N_META)),
-    )
-    state = _chunks_stream_loop(counts_ref, bins_ref, rows_hbm, scratch_ref,
-                                sem_ref, init, tiles_x=tiles_x,
-                                tile_h=tile_h, tile_w=tile_w)
-    _write_state((z_ref, tid_ref, cs_ref, nums_ref, metas_ref), state)
+    refs = (z_ref, tid_ref, cs_ref, nums_ref, metas_ref)
+    _clear_state(refs, tile_h, tile_w)
+    _chunks_stream_loop(counts_ref, bins_ref, rows_hbm,
+                        scratch_ref, sem_ref, refs, tiles_x=tiles_x,
+                        tile_h=tile_h, tile_w=tile_w)
 
 
 def _raster_chunks_state_kernel(counts_ref, bins_ref, rows_hbm,
@@ -951,17 +987,17 @@ def _raster_chunks_state_kernel(counts_ref, bins_ref, rows_hbm,
                                 scratch_ref, sem_ref, *,
                                 tiles_x: int, tile_h: int, tile_w: int):
     """Continuation slab: carries the previous slab's framebuffer state."""
-    init = (
-        z_in[:, :],
-        tid_in[:, :],
-        cs_in[:, :],
-        tuple(nums_in[a, :, :] for a in range(N_ATTR)),
-        tuple(metas_in[m, :, :] for m in range(N_META)),
-    )
-    state = _chunks_stream_loop(counts_ref, bins_ref, rows_hbm, scratch_ref,
-                                sem_ref, init, tiles_x=tiles_x,
-                                tile_h=tile_h, tile_w=tile_w)
-    _write_state((z_ref, tid_ref, cs_ref, nums_ref, metas_ref), state)
+    z_ref[:, :] = z_in[:, :]
+    tid_ref[:, :] = tid_in[:, :]
+    cs_ref[:, :] = cs_in[:, :]
+    for a in range(N_ATTR):
+        nums_ref[a, :, :] = nums_in[a, :, :]
+    for m in range(N_META):
+        metas_ref[m, :, :] = metas_in[m, :, :]
+    refs = (z_ref, tid_ref, cs_ref, nums_ref, metas_ref)
+    _chunks_stream_loop(counts_ref, bins_ref, rows_hbm,
+                        scratch_ref, sem_ref, refs, tiles_x=tiles_x,
+                        tile_h=tile_h, tile_w=tile_w)
 
 
 ROW_PAD = 128  # fat rows padded 48 -> 128 f32: Mosaic requires HBM slice
@@ -1052,8 +1088,9 @@ def _state_to_outputs(state):
     jax.jit,
     static_argnames=("tiles_x", "tiles_y", "tile_w", "tile_h"),
 )
-def rasterize_fused_chunks(fat_rows, cbins, ccounts, *, tiles_x: int,
-                           tiles_y: int, tile_w: int, tile_h: int):
+def rasterize_fused_chunks(fat_rows, cbins, ccounts, *,
+                           tiles_x: int, tiles_y: int, tile_w: int,
+                           tile_h: int):
     """Fused raster from CHUNK bins (no refine pass, no XLA row gather).
 
     fat_rows: (T, 48) f32, T % CHUNK == 0.
@@ -1065,8 +1102,9 @@ def rasterize_fused_chunks(fat_rows, cbins, ccounts, *, tiles_x: int,
     C = T // CHUNK
     rows64 = _prep_stream_rows(fat_rows)
     bins3 = _pack_bins_cols(jnp.clip(cbins, 0, C - 1))
-    state = _stream_slab_call(ccounts, bins3, rows64, None, tiles_x=tiles_x,
-                              tiles_y=tiles_y, tile_w=tile_w, tile_h=tile_h)
+    state = _stream_slab_call(ccounts, bins3, rows64, None,
+                              tiles_x=tiles_x, tiles_y=tiles_y,
+                              tile_w=tile_w, tile_h=tile_h)
     return _state_to_outputs(state)
 
 
@@ -1112,9 +1150,9 @@ def _for_each_slab(bins_full, counts, C, slab_cap, run_first, run_next):
     jax.jit,
     static_argnames=("tiles_x", "tiles_y", "tile_w", "tile_h", "slab_cap"),
 )
-def rasterize_fused_slabs(fat_rows, bins_full, counts, *, tiles_x: int,
-                          tiles_y: int, tile_w: int, tile_h: int,
-                          slab_cap: int = None):
+def rasterize_fused_slabs(fat_rows, bins_full, counts, *,
+                          tiles_x: int, tiles_y: int, tile_w: int,
+                          tile_h: int, slab_cap: int = None):
     """Fused raster over UNCAPPED dense bins, in slabs — never drops.
 
     bins_full/counts: bin_triangles_full output over chunk AABBs. The wide

@@ -170,19 +170,26 @@ def render_frame_multichip(buffers: SceneBuffers, params: FrameParams, *,
                 width, height, sun_dir=params.sun_dir[:3])
             packed_l = _shift_rows_y(setup.packed, y0)
             aabb_l = _shift_aabb_y(setup.aabb, y0)
-            caabb, cvalid = raster.chunk_aabbs(aabb_l, setup.valid)
+            rows_l = shade.build_shade_rows(packed_l, setup.attrs,
+                                            buffers.mat_meta)
             if fused:
+                # shard-local screen-space sort (tight chunk AABBs, same
+                # ~35% bin-entry cut as the single-chip hot path), then
                 # UNCAPPED dense bins walked in slabs — structurally
-                # overflow-free, same as the single-chip hot path
+                # overflow-free
+                aabb_s, valid_s, rows_l = raster.spatial_sort(
+                    aabb_l, setup.valid, rows_l)
+                caabb, cvalid = raster.chunk_aabbs(aabb_s, valid_s)
                 cbins, ccounts = raster.bin_triangles_full(
                     caabb, cvalid, tiles_x=tiles_x, tiles_y=tiles_y_band,
                     tile_w=tile_w, tile_h=tile_h)
             else:
+                caabb, cvalid = raster.chunk_aabbs(aabb_l, setup.valid)
                 cbins, ccounts, _ = raster.bin_triangles(
                     caabb, cvalid, tiles_x=tiles_x, tiles_y=tiles_y_band,
                     tile_w=tile_w, tile_h=tile_h,
                     bin_cap=bin_cap)
-            return setup, packed_l, aabb_l, cbins, ccounts
+            return setup, packed_l, aabb_l, rows_l, cbins, ccounts
 
         def refine(cbins, aabb_l):
             bins, counts, _ = raster.refine_bins(
@@ -191,10 +198,9 @@ def render_frame_multichip(buffers: SceneBuffers, params: FrameParams, *,
             return bins, counts
 
         # opaque: local raster + sort-last composite over 'tri'
-        setup, packed_l, aabb_l, cbins, ccounts = raster_set(ov, od, oval, vis)
+        setup, packed_l, aabb_l, rows_local, cbins, ccounts = raster_set(
+            ov, od, oval, vis)
         t_shard = ov.shape[0]
-        rows_local = shade.build_shade_rows(packed_l, setup.attrs,
-                                            buffers.mat_meta)
         if fused:
             # chunk-streaming slab raster, same as the single-chip hot path
             z, tid_local, attrs_l, meta_l, inv_l = raster.rasterize_fused_slabs(
@@ -245,10 +251,8 @@ def render_frame_multichip(buffers: SceneBuffers, params: FrameParams, *,
         # that shades to exactly black still counts as coverage)
         if tt > 0:
             all_vis = jnp.ones_like(vis)
-            setup_t, packed_tl, aabb_tl, cbins_t, ccounts_t = raster_set(
-                tv, td, tval, all_vis)
-            rows_t = shade.build_shade_rows(packed_tl, setup_t.attrs,
-                                            buffers.mat_meta)
+            setup_t, packed_tl, aabb_tl, rows_t, cbins_t, ccounts_t = \
+                raster_set(tv, td, tval, all_vis)
             if fused and not transp_textured:
                 light = jnp.concatenate([
                     params.sun_dir[:3], params.sun_color[3:4],

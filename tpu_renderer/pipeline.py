@@ -164,9 +164,14 @@ def render_frame(buffers: SceneBuffers, params: FrameParams, *,
             buffers.draw_mat, buffers.mat_color_factors, viewproj,
             width, height, sun_dir=params.sun_dir[:3],
         )
-        caabb, cvalid = raster.chunk_aabbs(setup.aabb, setup.valid)
         rows = shade.build_shade_rows(setup.packed, setup.attrs, buffers.mat_meta)
         if fused:
+            # screen-space spatial sort before chunking: tight chunk AABBs
+            # -> ~35% fewer chunk-bin entries to DMA + raster (see
+            # raster.spatial_sort)
+            aabb_s, valid_s, rows = raster.spatial_sort(
+                setup.aabb, setup.valid, rows)
+            caabb, cvalid = raster.chunk_aabbs(aabb_s, valid_s)
             # fused chunk-streaming raster over UNCAPPED dense bins, walked
             # in slabs: attributes interpolate inside the kernel (no
             # per-pixel row gather), fat rows DMA from HBM per binned chunk
@@ -190,6 +195,7 @@ def render_frame(buffers: SceneBuffers, params: FrameParams, *,
             alpha = jnp.where(valid, jnp.float32(1.0), fb[3])
             fb = q(jnp.concatenate([rgb, alpha[None]], axis=0))
         else:
+            caabb, cvalid = raster.chunk_aabbs(setup.aabb, setup.valid)
             cbins, ccounts, overflow_c = raster.bin_triangles(
                 caabb, cvalid, tiles_x=tiles_x, tiles_y=tiles_y,
                 tile_w=tile_w, tile_h=tile_h, bin_cap=bin_cap)
