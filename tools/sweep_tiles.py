@@ -68,8 +68,10 @@ def main():
         buffers.opaque_tri_vidx, buffers.opaque_tri_draw,
         buffers.opaque_tri_valid, buffers.draw_model, vis,
         buffers.draw_mat, buffers.mat_color_factors, viewproj, 1920, 1080)
-    caabb, cvalid = raster.chunk_aabbs(setup.aabb, setup.valid)
-    rows48 = shade.build_shade_rows(setup.packed, setup.attrs, buffers.mat_meta)
+    rows0 = shade.build_shade_rows(setup.packed, setup.attrs, buffers.mat_meta)
+    aabb_s, valid_s, rows48 = raster.spatial_sort(
+        setup.aabb, setup.valid, rows0)
+    caabb, cvalid = raster.chunk_aabbs(aabb_s, valid_s)
     caabb, cvalid, rows48 = jax.block_until_ready((caabb, cvalid, rows48))
 
     def timeit(name, fn, *xs):
@@ -100,13 +102,14 @@ def main():
 
         def bin_and_raster(caabb, cvalid, rows48, _th=th, _tx=tiles_x,
                            _ty=tiles_y, _cap=bin_cap):
-            cbins, ccounts, ov = raster.bin_triangles(
+            # the real hot path: uncapped dense bins + slab raster
+            cbins, ccounts = raster.bin_triangles_full(
                 caabb, cvalid, tiles_x=_tx, tiles_y=_ty,
-                tile_w=128, tile_h=_th, bin_cap=_cap)
-            z, tid, a, m, _i = raster.rasterize_fused_chunks(
+                tile_w=128, tile_h=_th)
+            z, tid, a, m, _i = raster.rasterize_fused_slabs(
                 rows48, cbins, ccounts, tiles_x=_tx, tiles_y=_ty,
                 tile_w=128, tile_h=_th)
-            return jnp.sum(z) + jnp.sum(a[0]) + jnp.sum(m[0]) + ov
+            return jnp.sum(z) + jnp.sum(a[0]) + jnp.sum(m[0])
 
         # stats: entries in bins at this tile size
         cbins, ccounts, ov = jax.jit(
