@@ -68,18 +68,19 @@ def time_variant(fn, iters=30):
 
 
 def main():
-    jit = jax.jit(lambda r, b, c: raster.rasterize_fused_slabs(
-        r, b, c, **KW)[0])
+    variants = {"fused": raster.rasterize_fused_slabs}
+    if hasattr(raster, "rasterize_twophase_slabs"):
+        variants["twophase"] = raster.rasterize_twophase_slabs
+    jits = {name: jax.jit(lambda r, b, c, _f=fn: (_f(r, b, c, **KW)[0],
+                                                  _f(r, b, c, **KW)[2]))
+            for name, fn in variants.items()}
     tag = os.environ.get("AB_TAG", "?")
     for grid, label in [(64, "demo"), (128, "stress")]:
         aabb, valid, rows0 = setup_scene(grid)
-        for sort in (False, True):
-            if sort and not hasattr(raster, "spatial_sort"):
-                continue
-            rows, bins, counts = bin_set(aabb, valid, rows0, sort)
+        rows, bins, counts = bin_set(aabb, valid, rows0, True)
+        for name, jit in jits.items():
             t = time_variant(lambda: jit(rows, bins, counts))
-            print(f"[{tag}][{label} {'sorted' if sort else 'unsorted'}] "
-                  f"raster={t:.2f} ms")
+            print(f"[{tag}][{label} sorted] {name}={t:.2f} ms", flush=True)
 
 
 if __name__ == "__main__":

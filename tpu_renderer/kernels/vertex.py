@@ -109,10 +109,16 @@ def triangle_setup(
     H = f32(height)
 
     mvp = jnp.einsum("ij,djk->dik", viewproj, draw_model)           # (D,4,4)
-    m = mvp[tri_draw]                                                # (T,4,4)
+    # Gather mvp COLUMN-wise: four (D, 4) 16-byte-row gathers instead of one
+    # (D, 4, 4) 64-byte-row gather. 64-byte rows pay ~4x per index AND the
+    # (D, 4, 4) table crosses the ~512 KB VMEM-staging cliff at D ~ 8k
+    # (docs/PERF.md gather model) — the stress scene's 15k draws put it in
+    # the slow regime; each (D, 4) column table stays fast to D ~ 32k.
+    # clip_c = x*M[:,0] + y*M[:,1] + z*M[:,2] + M[:,3] (pos_h w = 1).
+    mcol = [mvp[:, :, k][tri_draw][:, None, :] for k in range(4)]    # 4x(T,1,4)
     pos = positions[tri_vidx]                                        # (T,3,3)
-    pos_h = jnp.concatenate([pos, jnp.ones_like(pos[..., :1])], -1)  # (T,3,4)
-    clip = jnp.einsum("tij,tcj->tci", m, pos_h)                      # (T,3,4)
+    clip = (pos[..., 0:1] * mcol[0] + pos[..., 1:2] * mcol[1]
+            + pos[..., 2:3] * mcol[2] + mcol[3])                     # (T,3,4)
 
     w = clip[..., 3]
     zc = clip[..., 2]
