@@ -111,25 +111,6 @@ def test_slab_raster_matches_single_call():
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
 
 
-def test_twophase_matches_fused():
-    """Two-phase raster (vis pass + tid-matched attr resolve) must equal the
-    fused raster bit-for-bit — the attr formulas are identical ops on
-    identical inputs, and the tid-equality mask is exactly the fused loop's
-    final winner mask. Covers both the single-slab and carried-state paths."""
-    s, rows, cbins, ccounts, bins_full, counts_full = _full_setup(
-        _multi_quad_scene(40))
-    z1, t1, a1, m1, i1 = raster.rasterize_fused_slabs(
-        rows, bins_full, counts_full, **KW)
-    for cap in (None, 8):
-        z2, t2, a2, m2, i2 = raster.rasterize_twophase_slabs(
-            rows, bins_full, counts_full, slab_cap=cap, **KW)
-        np.testing.assert_array_equal(np.asarray(z1), np.asarray(z2))
-        np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
-        np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
-        np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
-        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
-
-
 def test_spatial_sorted_raster_matches_unsorted():
     """Rastering in spatial_sort order must produce the same framebuffer as
     submission order: plane evaluations are per-triangle, so with no exact

@@ -69,8 +69,6 @@ def time_variant(fn, iters=30):
 
 def main():
     variants = {"fused": raster.rasterize_fused_slabs}
-    if hasattr(raster, "rasterize_twophase_slabs"):
-        variants["twophase"] = raster.rasterize_twophase_slabs
     jits = {name: jax.jit(lambda r, b, c, _f=fn: (_f(r, b, c, **KW)[0],
                                                   _f(r, b, c, **KW)[2]))
             for name, fn in variants.items()}

@@ -1201,296 +1201,6 @@ def rasterize_fused_slabs(fat_rows, bins_full, counts, *,
     return _state_to_outputs(state)
 
 
-# ---------------------------------------------------------------------------
-# Two-phase raster: visibility-only pass, then tid-matched attribute resolve.
-#
-# The fused loop interpolates attributes for every chunk that covers any
-# pixel at eval time — in overdraw regions that work is discarded when a
-# later chunk wins the depth test. Splitting the pass makes attribute math
-# run exactly once per covered pixel: phase A walks the bins evaluating only
-# edge/depth planes (z + tid state, ~40% of the fused per-triangle ALU),
-# phase B re-walks the same bins and resolves attributes only for triangles
-# that OWN final pixels (take = tid == global id — phase A already proved
-# coverage + depth, so no re-test is needed; the equality mask IS the final
-# winner mask). Chunks with no winner cost 8 compares + one reduce.
-# ---------------------------------------------------------------------------
-
-
-VIS_COLS = 12  # phase-A columns per triangle: 3 edge planes + z plane
-
-
-def _prep_vis_rows(fat_rows):
-    """(T, 48) fat rows -> (C, 1, ROW_PAD) compact visibility rows.
-
-    Phase A needs only cols 0-11 (edge + z planes); packing the chunk's
-    CHUNK x VIS_COLS = 96 floats as lanes t*VIS_COLS + c of ONE 128-lane
-    row makes its per-chunk DMA 512 B instead of the fat block's 4 KiB.
-    """
-    T = fat_rows.shape[0]
-    v = fat_rows[:, :VIS_COLS].reshape(T // CHUNK, CHUNK * VIS_COLS)
-    v = jnp.pad(v, ((0, 0), (0, ROW_PAD - CHUNK * VIS_COLS)))
-    return v.reshape(T // CHUNK, 1, ROW_PAD)
-
-
-def _vis_stream_loop(counts_ref, bins_ref, rows_hbm, scratch_ref, sem_ref,
-                     z_ref, tid_ref, *, tiles_x: int, tile_h: int,
-                     tile_w: int):
-    """Visibility-only chunk-streaming loop: z + tid refs, RMW per chunk.
-    Streams the compact _prep_vis_rows blocks (stride=1)."""
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    tile = i * tiles_x + j
-
-    yy = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
-    xx = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
-    X = (xx + j * tile_w).astype(jnp.float32) + jnp.float32(0.5)
-    Y = (yy + i * tile_h).astype(jnp.float32) + jnp.float32(0.5)
-
-    def eval_entry(cid, base, carry):
-        z = z_ref[:, :]
-        tid = tid_ref[:, :]
-        tid_base = cid * CHUNK
-        for t in range(CHUNK):
-            r = lambda col, _t=t: scratch_ref[base, _t * VIS_COLS + col]  # noqa: E731
-            e0a, e0b = r(0), r(1)
-            e1a, e1b = r(3), r(4)
-            e2a, e2b = r(6), r(7)
-            c0v = e0a * X + e0b * Y + r(2)
-            c1v = e1a * X + e1b * Y + r(5)
-            c2v = e2a * X + e2b * Y + r(8)
-            zv = r(9) * X + r(10) * Y + r(11)
-            take = ((c0v >= _edge_bound(e0a, e0b))
-                    & (c1v >= _edge_bound(e1a, e1b))
-                    & (c2v >= _edge_bound(e2a, e2b))
-                    & (zv <= 1.0) & (zv >= z))
-            z = jnp.where(take, zv, z)
-            tid = jnp.where(take, tid_base + t, tid)
-        z_ref[:, :] = z
-        tid_ref[:, :] = tid
-        return carry
-
-    _walk_bins_cols(counts_ref, bins_ref, rows_hbm, scratch_ref,
-                    sem_ref, tile, eval_entry, 0, stride=1)
-
-
-def _vis_fresh_kernel(counts_ref, bins_ref, rows_hbm, z_ref, tid_ref,
-                      scratch_ref, sem_ref, *, tiles_x: int, tile_h: int,
-                      tile_w: int):
-    z_ref[:, :] = jnp.full((tile_h, tile_w), DEPTH_CLEAR, jnp.float32)
-    tid_ref[:, :] = jnp.full((tile_h, tile_w), NO_TRI, jnp.int32)
-    _vis_stream_loop(counts_ref, bins_ref, rows_hbm, scratch_ref, sem_ref,
-                     z_ref, tid_ref, tiles_x=tiles_x, tile_h=tile_h,
-                     tile_w=tile_w)
-
-
-def _vis_state_kernel(counts_ref, bins_ref, rows_hbm, z_in, tid_in,
-                      z_ref, tid_ref, scratch_ref, sem_ref, *,
-                      tiles_x: int, tile_h: int, tile_w: int):
-    z_ref[:, :] = z_in[:, :]
-    tid_ref[:, :] = tid_in[:, :]
-    _vis_stream_loop(counts_ref, bins_ref, rows_hbm, scratch_ref, sem_ref,
-                     z_ref, tid_ref, tiles_x=tiles_x, tile_h=tile_h,
-                     tile_w=tile_w)
-
-
-def _attr_resolve_kernel(counts_ref, bins_ref, rows_hbm, tid_in,
-                         cs_ref, nums_ref, metas_ref,
-                         scratch_ref, sem_ref, *, fresh: bool,
-                         tiles_x: int, tile_h: int, tile_w: int,
-                         cs_in=None, nums_in=None, metas_in=None):
-    """Phase B: attribute resolve for final winners only.
-
-    take = (tid == cid*CHUNK + t) — phase A's tid plane already encodes
-    coverage + depth, so the equality against the walked chunk's global ids
-    is the exact final-winner mask. Chunks none of whose 8 triangles own a
-    pixel cost 8 vector compares + one any-reduce; winning chunks recompute
-    the 3 edge-plane values (6 MACs/tri) and run the same numerator/meta
-    math as the fused loop — bit-identical attribute outputs.
-    """
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    tile = i * tiles_x + j
-
-    if fresh:
-        cs_ref[:, :] = jnp.ones((tile_h, tile_w), jnp.float32)
-        for a in range(N_ATTR):
-            nums_ref[a, :, :] = jnp.zeros((tile_h, tile_w), jnp.float32)
-        for m in range(N_META):
-            metas_ref[m, :, :] = jnp.zeros((tile_h, tile_w), jnp.float32)
-    else:
-        cs_ref[:, :] = cs_in[:, :]
-        for a in range(N_ATTR):
-            nums_ref[a, :, :] = nums_in[a, :, :]
-        for m in range(N_META):
-            metas_ref[m, :, :] = metas_in[m, :, :]
-
-    yy = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
-    xx = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
-    X = (xx + j * tile_w).astype(jnp.float32) + jnp.float32(0.5)
-    Y = (yy + i * tile_h).astype(jnp.float32) + jnp.float32(0.5)
-    tidp = tid_in[:, :]   # read-only: final winner ids from phase A
-    tidc = tidp >> _CHUNK_SHIFT  # winner CHUNK ids (NO_TRI=-1 >> 3 = -1,
-    #                              never a valid cid, so empty pixels miss)
-
-    def pred(cid):
-        # any pixel owned by this chunk? — decides BOTH the DMA and the
-        # resolve: losing chunks never fetch their 4 KiB fat block
-        return jnp.any(tidc == cid)
-
-    def eval_entry(cid, base, carry):
-        tid_base = cid * CHUNK
-        csum = cs_ref[:, :]
-        nums = [nums_ref[a, :, :] for a in range(N_ATTR)]
-        metas = [metas_ref[m, :, :] for m in range(N_META)]
-        for t in range(CHUNK):
-            r = lambda col, _t=t: scratch_ref[base + _t, col]  # noqa: E731
-            take = tidp == (tid_base + t)
-            c0v = r(0) * X + r(1) * Y + r(2)
-            c1v = r(3) * X + r(4) * Y + r(5)
-            c2v = r(6) * X + r(7) * Y + r(8)
-            csum = jnp.where(take, c0v + c1v + c2v, csum)
-            for a in range(N_ATTR):
-                num = (c0v * r(13 + a) + c1v * r(19 + a)
-                       + c2v * r(25 + a))
-                nums[a] = jnp.where(take, num, nums[a])
-            for m in range(N_META):
-                metas[m] = jnp.where(take, r(31 + m), metas[m])
-        cs_ref[:, :] = csum
-        for a in range(N_ATTR):
-            nums_ref[a, :, :] = nums[a]
-        for m in range(N_META):
-            metas_ref[m, :, :] = metas[m]
-        return carry
-
-    _walk_bins_cols(counts_ref, bins_ref, rows_hbm, scratch_ref,
-                    sem_ref, tile, eval_entry, 0, pred=pred)
-
-
-def _tile_spec(tile_h: int, tile_w: int):
-    return pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j),
-                        memory_space=pltpu.VMEM)
-
-
-def _vis_slab_call(ccounts, bins3, rows_vis, state, *, tiles_x: int,
-                   tiles_y: int, tile_w: int, tile_h: int):
-    n_tiles, bcap = bins3.shape[:2]
-    hp = tiles_y * tile_h
-    wp = tiles_x * tile_w
-    base_specs = [
-        pl.BlockSpec((n_tiles, 1), lambda i, j: (0, 0),
-                     memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, bcap, BIN_LANES),
-                     lambda i, j, _tx=tiles_x: (i * _tx + j, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pl.ANY),
-    ]
-    ts = _tile_spec(tile_h, tile_w)
-    common = dict(
-        out_shape=(jax.ShapeDtypeStruct((hp, wp), jnp.float32),
-                   jax.ShapeDtypeStruct((hp, wp), jnp.int32)),
-        grid=(tiles_y, tiles_x),
-        out_specs=(ts, ts),
-        scratch_shapes=[
-            # compact vis rows: ONE sublane row per chunk (stride=1)
-            pltpu.VMEM((NBUF, ROW_PAD), jnp.float32),
-            pltpu.SemaphoreType.DMA((NBUF,)),
-        ],
-        interpret=use_interpret(),
-    )
-    kw = dict(tiles_x=tiles_x, tile_h=tile_h, tile_w=tile_w)
-    if state is None:
-        return pl.pallas_call(
-            functools.partial(_vis_fresh_kernel, **kw),
-            in_specs=base_specs, **common,
-        )(ccounts.reshape(n_tiles, 1), bins3, rows_vis)
-    return pl.pallas_call(
-        functools.partial(_vis_state_kernel, **kw),
-        in_specs=base_specs + [ts, ts],
-        input_output_aliases={3: 0, 4: 1},
-        **common,
-    )(ccounts.reshape(n_tiles, 1), bins3, rows_vis, *state)
-
-
-def _attr_slab_call(ccounts, bins3, rows64, tid, state, *, tiles_x: int,
-                    tiles_y: int, tile_w: int, tile_h: int):
-    n_tiles, bcap = bins3.shape[:2]
-    hp = tiles_y * tile_h
-    wp = tiles_x * tile_w
-    ts = _tile_spec(tile_h, tile_w)
-    base_specs = [
-        pl.BlockSpec((n_tiles, 1), lambda i, j: (0, 0),
-                     memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, bcap, BIN_LANES),
-                     lambda i, j, _tx=tiles_x: (i * _tx + j, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pl.ANY),
-        ts,  # tid (read-only)
-    ]
-    spec_n = pl.BlockSpec((N_ATTR, tile_h, tile_w), lambda i, j: (0, i, j),
-                          memory_space=pltpu.VMEM)
-    spec_m = pl.BlockSpec((N_META, tile_h, tile_w), lambda i, j: (0, i, j),
-                          memory_space=pltpu.VMEM)
-    common = dict(
-        out_shape=(jax.ShapeDtypeStruct((hp, wp), jnp.float32),
-                   jax.ShapeDtypeStruct((N_ATTR, hp, wp), jnp.float32),
-                   jax.ShapeDtypeStruct((N_META, hp, wp), jnp.float32)),
-        grid=(tiles_y, tiles_x),
-        out_specs=(ts, spec_n, spec_m),
-        scratch_shapes=[
-            pltpu.VMEM((NBUF * CHUNK, ROW_PAD), jnp.float32),
-            pltpu.SemaphoreType.DMA((NBUF,)),
-        ],
-        interpret=use_interpret(),
-    )
-    kw = dict(tiles_x=tiles_x, tile_h=tile_h, tile_w=tile_w)
-    if state is None:
-        return pl.pallas_call(
-            functools.partial(_attr_resolve_kernel, fresh=True, **kw),
-            in_specs=base_specs, **common,
-        )(ccounts.reshape(n_tiles, 1), bins3, rows64, tid)
-
-    def kernel(counts_ref, bins_ref, rows_hbm, tid_in, cs_in, nums_in,
-               metas_in, cs_ref, nums_ref, metas_ref, scratch_ref, sem_ref):
-        _attr_resolve_kernel(counts_ref, bins_ref, rows_hbm, tid_in,
-                             cs_ref, nums_ref, metas_ref, scratch_ref,
-                             sem_ref, fresh=False, cs_in=cs_in,
-                             nums_in=nums_in, metas_in=metas_in, **kw)
-
-    return pl.pallas_call(
-        kernel,
-        in_specs=base_specs + [ts, spec_n, spec_m],
-        input_output_aliases={4: 0, 5: 1, 6: 2},
-        **common,
-    )(ccounts.reshape(n_tiles, 1), bins3, rows64, tid, *state)
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("tiles_x", "tiles_y", "tile_w", "tile_h", "slab_cap"),
-)
-def rasterize_twophase_slabs(fat_rows, bins_full, counts, *,
-                             tiles_x: int, tiles_y: int, tile_w: int,
-                             tile_h: int, slab_cap: int = None):
-    """Two-phase raster over uncapped dense bins: vis pass + attr resolve.
-
-    Same signature and bit-identical outputs as rasterize_fused_slabs;
-    attribute interpolation runs once per covered pixel instead of once per
-    depth-passing chunk eval (see the block comment above _vis_stream_loop).
-    """
-    C = fat_rows.shape[0] // CHUNK
-    rows_vis = _prep_vis_rows(fat_rows)
-    rows64 = _prep_stream_rows(fat_rows)
-    kw = dict(tiles_x=tiles_x, tiles_y=tiles_y, tile_w=tile_w, tile_h=tile_h)
-    z, tid = _for_each_slab(
-        bins_full, counts, C, slab_cap,
-        lambda sc, b3: _vis_slab_call(sc, b3, rows_vis, None, **kw),
-        lambda sc, b3, st: _vis_slab_call(sc, b3, rows_vis, st, **kw))
-    cs, nums, metas = _for_each_slab(
-        bins_full, counts, C, slab_cap,
-        lambda sc, b3: _attr_slab_call(sc, b3, rows64, tid, None, **kw),
-        lambda sc, b3, st: _attr_slab_call(sc, b3, rows64, tid, st, **kw))
-    return _state_to_outputs((z, tid, cs, nums, metas))
-
 
 def _accum_fused_kernel(counts_ref, light_ref, rows_ref, zbase_ref,
                         acc_ref, cnt_ref, *,

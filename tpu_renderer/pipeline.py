@@ -184,13 +184,7 @@ def render_frame(buffers: SceneBuffers, params: FrameParams, *,
             cbins_full, ccounts = raster.bin_triangles_full(
                 caabb, cvalid, tiles_x=tiles_x, tiles_y=tiles_y,
                 tile_w=tile_w, tile_h=tile_h)
-            # RENDERER_TWOPHASE=1 swaps in the two-phase raster (vis pass +
-            # winner-gated attr resolve) — bit-identical outputs, different
-            # DMA/ALU profile (trace-time switch for frame-level A/B)
-            _raster_slabs = (raster.rasterize_twophase_slabs
-                             if os.environ.get("RENDERER_TWOPHASE") == "1"
-                             else raster.rasterize_fused_slabs)
-            z, tid, attrs_px, meta_px, inv_px = _raster_slabs(
+            z, tid, attrs_px, meta_px, inv_px = raster.rasterize_fused_slabs(
                 rows, cbins_full, ccounts,
                 tiles_x=tiles_x, tiles_y=tiles_y, tile_w=tile_w, tile_h=tile_h)
             valid = tid >= 0
