@@ -617,8 +617,8 @@ def rasterize_reference(packed, width: int, height: int):
 # ---------------------------------------------------------------------------
 
 
-def _raster_fused_kernel(counts_ref, rows_ref, z_ref, tid_ref, attr_ref,
-                         meta_ref, inv_ref, *,
+def _raster_fused_kernel(counts_ref, rows_ref, z_ref, tid_ref, num_ref,
+                         meta_ref, *,
                          tiles_x: int, tile_h: int, tile_w: int):
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -631,9 +631,8 @@ def _raster_fused_kernel(counts_ref, rows_ref, z_ref, tid_ref, attr_ref,
         return rows_ref[0, k, 47].astype(jnp.int32)
 
     def tri_body(k4, carry):
-        z, tid, csum, nums, metas = carry
+        z, tid, nums, metas = carry
         takes = []
-        covs = []
         for u in range(_UNROLL):
             k = k4 * _UNROLL + u
             r = lambda col, _k=k: rows_ref[0, _k, col]  # noqa: E731
@@ -652,58 +651,50 @@ def _raster_fused_kernel(counts_ref, rows_ref, z_ref, tid_ref, attr_ref,
             z = jnp.where(take, zv, z)
             tid = jnp.where(take, rows_ids_global(k), tid)
             takes.append(take)
-            covs.append((c0v, c1v, c2v))
 
-        # The attribute-interpolation block (8 numerator planes + 6 meta
-        # planes = ~4x the visibility cost) only runs when at least one of
-        # the _UNROLL triangles won a pixel. One any() reduce + branch per
-        # GROUP keeps the skip overhead small on winner-dense tiles while
-        # overdraw-heavy tiles (most candidates lose the depth test) pay
-        # per WINNER-GROUP instead of per candidate.
+        # The attribute block (6 numerator-plane evals + 13 meta selects)
+        # only runs when at least one of the _UNROLL triangles won a pixel.
+        # One any() reduce + branch per GROUP keeps the skip overhead small
+        # on winner-dense tiles while overdraw-heavy tiles (most candidates
+        # lose the depth test) pay per WINNER-GROUP instead of per candidate.
         group_any = takes[0]
         for t in takes[1:]:
             group_any = group_any | t
 
         def attr_taken(args):
-            csum, nums, metas = args
+            nums, metas = args
             for u in range(_UNROLL):
                 k = k4 * _UNROLL + u
                 r = lambda col, _k=k: rows_ref[0, _k, col]  # noqa: E731
                 take = takes[u]
-                c0v, c1v, c2v = covs[u]
-                csum = jnp.where(take, c0v + c1v + c2v, csum)
                 new_nums = []
                 for a in range(N_ATTR):
-                    num = (c0v * r(13 + a) + c1v * r(19 + a)
-                           + c2v * r(25 + a))
+                    num = r(13 + a) * X + r(19 + a) * Y + r(25 + a)
                     new_nums.append(jnp.where(take, num, nums[a]))
                 nums = tuple(new_nums)
                 metas = tuple(
                     jnp.where(take, r(31 + m), metas[m])
                     for m in range(N_META))
-            return csum, nums, metas
+            return nums, metas
 
-        csum, nums, metas = jax.lax.cond(
+        nums, metas = jax.lax.cond(
             jnp.any(group_any), attr_taken, lambda args: args,
-            (csum, nums, metas))
-        return z, tid, csum, nums, metas
+            (nums, metas))
+        return z, tid, nums, metas
 
     z0 = jnp.full((tile_h, tile_w), DEPTH_CLEAR, jnp.float32)
     tid0 = jnp.full((tile_h, tile_w), NO_TRI, jnp.int32)
-    cs0 = jnp.ones((tile_h, tile_w), jnp.float32)
     nums0 = tuple(jnp.zeros((tile_h, tile_w), jnp.float32)
                   for _ in range(N_ATTR))
     metas0 = tuple(jnp.zeros((tile_h, tile_w), jnp.float32)
                    for _ in range(N_META))
     n4 = (n + _UNROLL - 1) // _UNROLL
-    z1, tid1, cs1, nums1, metas1 = jax.lax.fori_loop(
-        0, n4, tri_body, (z0, tid0, cs0, nums0, metas0))
+    z1, tid1, nums1, metas1 = jax.lax.fori_loop(
+        0, n4, tri_body, (z0, tid0, nums0, metas0))
     z_ref[:, :] = z1
     tid_ref[:, :] = tid1
-    inv = jnp.where(cs1 != 0.0, 1.0 / cs1, 0.0)
-    inv_ref[:, :] = inv
     for a in range(N_ATTR):
-        attr_ref[a, :, :] = nums1[a] * inv
+        num_ref[a, :, :] = nums1[a]
     for m in range(N_META):
         meta_ref[m, :, :] = metas1[m]
 
@@ -719,7 +710,7 @@ def rasterize_fused(fat_rows, bins, counts, *, tiles_x: int, tiles_y: int,
     fat_rows: (T, 48) f32 (kernels/shade fat-row layout; column 47 is free
     and gets the global triangle id here).
     Returns (z, tid, attrs (N_ATTR,Hp,Wp) interpolated, meta (N_META,Hp,Wp),
-    inv (Hp,Wp) = 1/csum for the analytic uv gradients).
+    inv (Hp,Wp) = 1/den for the analytic uv gradients).
     """
     T = fat_rows.shape[0]
     n_tiles, bin_cap = bins.shape
@@ -737,7 +728,7 @@ def rasterize_fused(fat_rows, bins, counts, *, tiles_x: int, tiles_y: int,
     hp = tiles_y * tile_h
     wp = tiles_x * tile_w
 
-    z, tid, attrs, meta, inv = pl.pallas_call(
+    state = pl.pallas_call(
         functools.partial(_raster_fused_kernel, tiles_x=tiles_x,
                           tile_h=tile_h, tile_w=tile_w),
         out_shape=(
@@ -745,7 +736,6 @@ def rasterize_fused(fat_rows, bins, counts, *, tiles_x: int, tiles_y: int,
             jax.ShapeDtypeStruct((hp, wp), jnp.int32),
             jax.ShapeDtypeStruct((N_ATTR, hp, wp), jnp.float32),
             jax.ShapeDtypeStruct((N_META, hp, wp), jnp.float32),
-            jax.ShapeDtypeStruct((hp, wp), jnp.float32),
         ),
         grid=(tiles_y, tiles_x),
         in_specs=[
@@ -759,11 +749,10 @@ def rasterize_fused(fat_rows, bins, counts, *, tiles_x: int, tiles_y: int,
             pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((N_ATTR, tile_h, tile_w), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((N_META, tile_h, tile_w), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM),
         ),
         interpret=use_interpret(),
     )(counts.reshape(n_tiles, 1), rows)
-    return z, tid, attrs, meta, inv
+    return _state_to_outputs(state)
 
 
 BIN_LANES = 8  # lanes per bins-block sublane row (see _pack_bins_cols)
@@ -892,16 +881,16 @@ def _chunks_stream_loop(counts_ref, bins_ref, rows_hbm,
     copy of chunk k+1 overlaps the raster of chunk k. The loop bound is the
     tile's REAL chunk count — empty tiles cost nothing.
 
-    The framebuffer state (z, tid, csum, nums x8, metas x6; csum/nums
-    PRE-divide — the perspective divide happens in XLA after the last slab,
-    see rasterize_fused_slabs) lives directly in the VMEM out refs and is
+    The framebuffer state (z, tid, nums x6, metas x13; nums PRE-divide —
+    the perspective divide happens in XLA after the last slab, see
+    rasterize_fused_slabs) lives directly in the VMEM out refs and is
     read-modify-written per chunk — measured ~6% faster than carrying the
-    21 planes as fori_loop state through the bin walk.
+    planes as fori_loop state through the bin walk.
     """
     i = pl.program_id(0)
     j = pl.program_id(1)
     tile = i * tiles_x + j
-    z_ref, tid_ref, cs_ref, nums_ref, metas_ref = refs
+    z_ref, tid_ref, nums_ref, metas_ref = refs
 
     # pixel-center coordinate planes, hoisted out of the walk
     yy = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
@@ -913,7 +902,6 @@ def _chunks_stream_loop(counts_ref, bins_ref, rows_hbm,
         z = z_ref[:, :]
         tid = tid_ref[:, :]
         takes = []
-        covs = []
         for t in range(CHUNK):
             r = lambda col, _t=t: scratch_ref[base + _t, col]  # noqa: E731
             e0a, e0b = r(0), r(1)
@@ -935,7 +923,6 @@ def _chunks_stream_loop(counts_ref, bins_ref, rows_hbm,
             z = jnp.where(take, zv, z)
             tid = jnp.where(take, tid_base + t, tid)
             takes.append(take)
-            covs.append((c0v, c1v, c2v))
 
         z_ref[:, :] = z
         tid_ref[:, :] = tid
@@ -945,24 +932,23 @@ def _chunks_stream_loop(counts_ref, bins_ref, rows_hbm,
             group_any = group_any | t
 
         # per-chunk attr skip measured: 12.5 FPS with vs 9.9 without
-        # on the demo bench (whole chunks often miss a tile's pixels)
+        # on the demo bench (whole chunks often miss a tile's pixels).
+        # Attributes interpolate as numerator PLANES (2 FMA each; folded
+        # at setup, see shade.C_ATTR) — no dependence on the edge values,
+        # so the visibility block's c planes are dead here (less VMEM
+        # register pressure than the old c-weighted barycentric sums).
         @pl.when(jnp.any(group_any))
         def _():
-            csum = cs_ref[:, :]
             nums = [nums_ref[a, :, :] for a in range(N_ATTR)]
             metas = [metas_ref[m, :, :] for m in range(N_META)]
             for t in range(CHUNK):
                 r = lambda col, _t=t: scratch_ref[base + _t, col]  # noqa: E731
                 take = takes[t]
-                c0v, c1v, c2v = covs[t]
-                csum = jnp.where(take, c0v + c1v + c2v, csum)
                 for a in range(N_ATTR):
-                    num = (c0v * r(13 + a) + c1v * r(19 + a)
-                           + c2v * r(25 + a))
+                    num = r(13 + a) * X + r(19 + a) * Y + r(25 + a)
                     nums[a] = jnp.where(take, num, nums[a])
                 for m in range(N_META):
                     metas[m] = jnp.where(take, r(31 + m), metas[m])
-            cs_ref[:, :] = csum
             for a in range(N_ATTR):
                 nums_ref[a, :, :] = nums[a]
             for m in range(N_META):
@@ -985,10 +971,9 @@ def _chunks_stream_loop(counts_ref, bins_ref, rows_hbm,
 
 
 def _clear_state(refs, tile_h: int, tile_w: int):
-    z_ref, tid_ref, cs_ref, nums_ref, metas_ref = refs
+    z_ref, tid_ref, nums_ref, metas_ref = refs
     z_ref[:, :] = jnp.full((tile_h, tile_w), DEPTH_CLEAR, jnp.float32)
     tid_ref[:, :] = jnp.full((tile_h, tile_w), NO_TRI, jnp.int32)
-    cs_ref[:, :] = jnp.ones((tile_h, tile_w), jnp.float32)
     for a in range(N_ATTR):
         nums_ref[a, :, :] = jnp.zeros((tile_h, tile_w), jnp.float32)
     for m in range(N_META):
@@ -996,11 +981,11 @@ def _clear_state(refs, tile_h: int, tile_w: int):
 
 
 def _raster_chunks_fresh_kernel(counts_ref, bins_ref, rows_hbm,
-                                z_ref, tid_ref, cs_ref, nums_ref, metas_ref,
+                                z_ref, tid_ref, nums_ref, metas_ref,
                                 scratch_ref, sem_ref, *,
                                 tiles_x: int, tile_h: int, tile_w: int):
-    """First slab: fresh framebuffer state (cleared z/tid, identity csum)."""
-    refs = (z_ref, tid_ref, cs_ref, nums_ref, metas_ref)
+    """First slab: fresh framebuffer state (cleared z/tid)."""
+    refs = (z_ref, tid_ref, nums_ref, metas_ref)
     _clear_state(refs, tile_h, tile_w)
     _chunks_stream_loop(counts_ref, bins_ref, rows_hbm,
                         scratch_ref, sem_ref, refs, tiles_x=tiles_x,
@@ -1008,19 +993,18 @@ def _raster_chunks_fresh_kernel(counts_ref, bins_ref, rows_hbm,
 
 
 def _raster_chunks_state_kernel(counts_ref, bins_ref, rows_hbm,
-                                z_in, tid_in, cs_in, nums_in, metas_in,
-                                z_ref, tid_ref, cs_ref, nums_ref, metas_ref,
+                                z_in, tid_in, nums_in, metas_in,
+                                z_ref, tid_ref, nums_ref, metas_ref,
                                 scratch_ref, sem_ref, *,
                                 tiles_x: int, tile_h: int, tile_w: int):
     """Continuation slab: carries the previous slab's framebuffer state."""
     z_ref[:, :] = z_in[:, :]
     tid_ref[:, :] = tid_in[:, :]
-    cs_ref[:, :] = cs_in[:, :]
     for a in range(N_ATTR):
         nums_ref[a, :, :] = nums_in[a, :, :]
     for m in range(N_META):
         metas_ref[m, :, :] = metas_in[m, :, :]
-    refs = (z_ref, tid_ref, cs_ref, nums_ref, metas_ref)
+    refs = (z_ref, tid_ref, nums_ref, metas_ref)
     _chunks_stream_loop(counts_ref, bins_ref, rows_hbm,
                         scratch_ref, sem_ref, refs, tiles_x=tiles_x,
                         tile_h=tile_h, tile_w=tile_w)
@@ -1047,7 +1031,6 @@ def _state_shapes(hp: int, wp: int):
     return (
         jax.ShapeDtypeStruct((hp, wp), jnp.float32),    # z
         jax.ShapeDtypeStruct((hp, wp), jnp.int32),      # tid
-        jax.ShapeDtypeStruct((hp, wp), jnp.float32),    # csum
         jax.ShapeDtypeStruct((N_ATTR, hp, wp), jnp.float32),  # attr nums
         jax.ShapeDtypeStruct((N_META, hp, wp), jnp.float32),  # meta
     )
@@ -1055,7 +1038,6 @@ def _state_shapes(hp: int, wp: int):
 
 def _state_specs(tile_h: int, tile_w: int):
     return (
-        pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM),
         pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM),
         pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM),
         pl.BlockSpec((N_ATTR, tile_h, tile_w), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
@@ -1099,14 +1081,34 @@ def _stream_slab_call(ccounts, bins3, rows64, state, *, tiles_x: int,
                           tile_h=tile_h, tile_w=tile_w),
         in_specs=base_specs + list(_state_specs(tile_h, tile_w)),
         # carry the 21 framebuffer-state planes in place
-        input_output_aliases={3: 0, 4: 1, 5: 2, 6: 3, 7: 4},
+        input_output_aliases={3: 0, 4: 1, 5: 2, 6: 3},
         **common,
     )(ccounts.reshape(n_tiles, 1), bins3, rows64, *state)
 
 
+def _pixel_planes(hp: int, wp: int):
+    """Full-frame pixel-center coordinate planes (f32)."""
+    X = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1).astype(jnp.float32) \
+        + jnp.float32(0.5)
+    Y = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0).astype(jnp.float32) \
+        + jnp.float32(0.5)
+    return X, Y
+
+
 def _state_to_outputs(state):
-    z, tid, cs, nums, metas = state
-    inv = jnp.where(cs != 0.0, 1.0 / cs, 0.0)
+    """Perspective-divide epilogue, shared by every fused raster variant.
+
+    The denominator den(X,Y) (= sum of the barycentric numerators) is
+    recomputed from the winner's den-plane metas (C_GRAD+4/5 slopes +
+    C_DEN constant) instead of being carried as a per-pixel csum plane —
+    one framebuffer plane less in the kernels. Winnerless pixels have
+    zero metas -> den 0 -> inv 0 -> attrs 0 (masked by tid downstream).
+    """
+    z, tid, nums, metas = state
+    hp, wp = z.shape
+    X, Y = _pixel_planes(hp, wp)
+    den = metas[N_META - 3] * X + metas[N_META - 2] * Y + metas[N_META - 1]
+    inv = jnp.where(den != 0.0, 1.0 / den, 0.0)
     return z, tid, nums * inv[None], metas, inv
 
 
@@ -1232,7 +1234,6 @@ def _accum_fused_kernel(counts_ref, light_ref, rows_ref, zbase_ref,
     def tri_body(k4, carry):
         ar, ag, ab, cnt = carry
         takes = []
-        covs = []
         for u in range(_UNROLL):
             k = k4 * _UNROLL + u
             r = lambda col, _k=k: rows_ref[0, _k, col]  # noqa: E731
@@ -1248,7 +1249,6 @@ def _accum_fused_kernel(counts_ref, light_ref, rows_ref, zbase_ref,
             zv = r(9) * X + r(10) * Y + r(11)
             cov &= (zv >= 0.0) & (zv <= 1.0)
             takes.append(cov & (zv >= zbase) & (k < n))
-            covs.append((c0v, c1v, c2v))
 
         group_any = takes[0]
         for t in takes[1:]:
@@ -1260,18 +1260,15 @@ def _accum_fused_kernel(counts_ref, light_ref, rows_ref, zbase_ref,
                 k = k4 * _UNROLL + u
                 r = lambda col, _k=k: rows_ref[0, _k, col]  # noqa: E731
                 take = takes[u]
-                c0v, c1v, c2v = covs[u]
-                csum = c0v + c1v + c2v
-                inv = jnp.where(csum != 0.0, 1.0 / csum, 0.0)
                 # perspective-correct light-numerator + color (uv unused:
-                # the white texture's tex factor is 1.0)
-                b0 = c0v * inv
-                b1 = c1v * inv
-                b2 = c2v * inv
-                ln = b0 * r(13) + b1 * r(19) + b2 * r(25)
-                cr = b0 * r(14) + b1 * r(20) + b2 * r(26)
-                cg = b0 * r(15) + b1 * r(21) + b2 * r(27)
-                cb = b0 * r(16) + b1 * r(22) + b2 * r(28)
+                # the white texture's tex factor is 1.0); numerators and
+                # the denominator are PLANES folded at setup (shade.C_ATTR)
+                den = r(41) * X + r(42) * Y + r(43)
+                inv = jnp.where(den != 0.0, 1.0 / den, 0.0)
+                ln = (r(13) * X + r(19) * Y + r(25)) * inv
+                cr = (r(14) * X + r(20) * Y + r(26)) * inv
+                cg = (r(15) * X + r(21) * Y + r(27)) * inv
+                cb = (r(16) * X + r(22) * Y + r(28)) * inv
                 # mesh.frag:12-18 — light floor 0.1, sun power, ambient add
                 light = jnp.maximum(ln, jnp.float32(0.1))
                 scale = light * power
@@ -1368,7 +1365,6 @@ def _accum_chunks_kernel(counts_ref, light_ref, bins_ref, rows_hbm,
         ar, ag, ab, cnt = carry
 
         takes = []
-        covs = []
         for t in range(CHUNK):
             r = lambda col, _t=t: scratch_ref[base + _t, col]  # noqa: E731
             e0a, e0b = r(0), r(1)
@@ -1384,7 +1380,6 @@ def _accum_chunks_kernel(counts_ref, light_ref, bins_ref, rows_hbm,
                    & (zv <= 1.0))
             # zv >= 0 is subsumed by zv >= zbase (opaque depth, >= 0)
             takes.append(cov & (zv >= zbase))
-            covs.append((c0v, c1v, c2v))
 
         group_any = takes[0]
         for t in takes[1:]:
@@ -1395,16 +1390,12 @@ def _accum_chunks_kernel(counts_ref, light_ref, bins_ref, rows_hbm,
             for t in range(CHUNK):
                 r = lambda col, _t=t: scratch_ref[base + _t, col]  # noqa: E731
                 take = takes[t]
-                c0v, c1v, c2v = covs[t]
-                csum = c0v + c1v + c2v
-                inv = jnp.where(csum != 0.0, 1.0 / csum, 0.0)
-                b0 = c0v * inv
-                b1 = c1v * inv
-                b2 = c2v * inv
-                ln = b0 * r(13) + b1 * r(19) + b2 * r(25)
-                cr = b0 * r(14) + b1 * r(20) + b2 * r(26)
-                cg = b0 * r(15) + b1 * r(21) + b2 * r(27)
-                cb = b0 * r(16) + b1 * r(22) + b2 * r(28)
+                den = r(41) * X + r(42) * Y + r(43)
+                inv = jnp.where(den != 0.0, 1.0 / den, 0.0)
+                ln = (r(13) * X + r(19) * Y + r(25)) * inv
+                cr = (r(14) * X + r(20) * Y + r(26)) * inv
+                cg = (r(15) * X + r(21) * Y + r(27)) * inv
+                cb = (r(16) * X + r(22) * Y + r(28)) * inv
                 light = jnp.maximum(ln, jnp.float32(0.1))
                 scale = light * power
                 ar = jnp.where(take, ar + cr * (scale + amb_r), ar)
@@ -1511,7 +1502,7 @@ def rasterize_accum_slabs(fat_rows, bins_full, counts, z_base, light, *,
 
 
 def _peel_fused_kernel(counts_ref, rows_ref, zbase_ref, last_ref,
-                       tid_ref, attr_ref, meta_ref, inv_ref, *,
+                       tid_ref, num_ref, meta_ref, *,
                        tiles_x: int, tile_h: int, tile_w: int):
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -1522,9 +1513,8 @@ def _peel_fused_kernel(counts_ref, rows_ref, zbase_ref, last_ref,
     last = last_ref[:, :]
 
     def tri_body(k4, carry):
-        best, csum, nums, metas = carry
+        best, nums, metas = carry
         takes = []
-        covs = []
         for u in range(_UNROLL):
             k = k4 * _UNROLL + u
             r = lambda col, _k=k: rows_ref[0, _k, col]  # noqa: E731
@@ -1543,50 +1533,43 @@ def _peel_fused_kernel(counts_ref, rows_ref, zbase_ref, last_ref,
             take = cov & (zv >= zbase) & (idx > last) & (idx < best) & (k < n)
             best = jnp.where(take, idx, best)
             takes.append(take)
-            covs.append((c0v, c1v, c2v))
 
         group_any = takes[0]
         for t in takes[1:]:
             group_any = group_any | t
 
         def attr_taken(args):
-            csum, nums, metas = args
+            nums, metas = args
             for u in range(_UNROLL):
                 k = k4 * _UNROLL + u
                 r = lambda col, _k=k: rows_ref[0, _k, col]  # noqa: E731
                 take = takes[u]
-                c0v, c1v, c2v = covs[u]
-                csum = jnp.where(take, c0v + c1v + c2v, csum)
                 new_nums = []
                 for a in range(N_ATTR):
-                    num = (c0v * r(13 + a) + c1v * r(19 + a)
-                           + c2v * r(25 + a))
+                    num = r(13 + a) * X + r(19 + a) * Y + r(25 + a)
                     new_nums.append(jnp.where(take, num, nums[a]))
                 nums = tuple(new_nums)
                 metas = tuple(
                     jnp.where(take, r(31 + m), metas[m])
                     for m in range(N_META))
-            return csum, nums, metas
+            return nums, metas
 
-        csum, nums, metas = jax.lax.cond(
+        nums, metas = jax.lax.cond(
             jnp.any(group_any), attr_taken, lambda args: args,
-            (csum, nums, metas))
-        return best, csum, nums, metas
+            (nums, metas))
+        return best, nums, metas
 
     best0 = jnp.full((tile_h, tile_w), ID_INF, jnp.int32)
-    cs0 = jnp.ones((tile_h, tile_w), jnp.float32)
     nums0 = tuple(jnp.zeros((tile_h, tile_w), jnp.float32)
                   for _ in range(N_ATTR))
     metas0 = tuple(jnp.zeros((tile_h, tile_w), jnp.float32)
                    for _ in range(N_META))
     n4 = (n + _UNROLL - 1) // _UNROLL
-    best1, cs1, nums1, metas1 = jax.lax.fori_loop(
-        0, n4, tri_body, (best0, cs0, nums0, metas0))
+    best1, nums1, metas1 = jax.lax.fori_loop(
+        0, n4, tri_body, (best0, nums0, metas0))
     tid_ref[:, :] = best1
-    inv = jnp.where(cs1 != 0.0, 1.0 / cs1, 0.0)
-    inv_ref[:, :] = inv
     for a in range(N_ATTR):
-        attr_ref[a, :, :] = nums1[a] * inv
+        num_ref[a, :, :] = nums1[a]
     for m in range(N_META):
         meta_ref[m, :, :] = metas1[m]
 
@@ -1613,14 +1596,13 @@ def rasterize_peel_fused(fat_rows, bins, counts, z_base, last_id, *,
     hp = tiles_y * tile_h
     wp = tiles_x * tile_w
 
-    return pl.pallas_call(
+    best, nums, metas = pl.pallas_call(
         functools.partial(_peel_fused_kernel, tiles_x=tiles_x,
                           tile_h=tile_h, tile_w=tile_w),
         out_shape=(
             jax.ShapeDtypeStruct((hp, wp), jnp.int32),
             jax.ShapeDtypeStruct((N_ATTR, hp, wp), jnp.float32),
             jax.ShapeDtypeStruct((N_META, hp, wp), jnp.float32),
-            jax.ShapeDtypeStruct((hp, wp), jnp.float32),
         ),
         grid=(tiles_y, tiles_x),
         in_specs=[
@@ -1635,10 +1617,10 @@ def rasterize_peel_fused(fat_rows, bins, counts, z_base, last_id, *,
             pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((N_ATTR, tile_h, tile_w), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((N_META, tile_h, tile_w), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM),
         ),
         interpret=use_interpret(),
     )(counts.reshape(n_tiles, 1), rows, z_base, last_id)
+    return _peel_outputs(best, nums, metas)
 
 
 def _peel_stream_loop(counts_ref, bins_ref, rows_hbm, scratch_ref, sem_ref,
@@ -1652,8 +1634,8 @@ def _peel_stream_loop(counts_ref, bins_ref, rows_hbm, scratch_ref, sem_ref,
     submission-order peeling, one layer per call (the reference submits
     transparent draws in list order, vk_engine.cpp:1459-1465).
 
-    init_state/return: (best id, csum, nums x8, metas x6) tile planes with
-    csum/nums PRE-divide, so slabs compose (rasterize_peel_slabs).
+    init_state/return: (best id, nums x6, metas x13) tile planes with
+    nums PRE-divide, so slabs compose (rasterize_peel_slabs).
     """
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -1661,11 +1643,10 @@ def _peel_stream_loop(counts_ref, bins_ref, rows_hbm, scratch_ref, sem_ref,
     X, Y = _tile_coords(i, j, tile_h, tile_w)
 
     def eval_entry(cid, base, carry):
-        best, csum, nums, metas = carry
+        best, nums, metas = carry
 
         tid_base = cid * CHUNK
         takes = []
-        covs = []
         for t in range(CHUNK):
             r = lambda col, _t=t: scratch_ref[base + _t, col]  # noqa: E731
             idx = tid_base + t
@@ -1686,43 +1667,47 @@ def _peel_stream_loop(counts_ref, bins_ref, rows_hbm, scratch_ref, sem_ref,
             take = cov & (zv >= zbase) & (idx > last) & (idx < best)
             best = jnp.where(take, idx, best)
             takes.append(take)
-            covs.append((c0v, c1v, c2v))
 
         group_any = takes[0]
         for t in takes[1:]:
             group_any = group_any | t
 
         def attr_taken(args):
-            csum, nums, metas = args
+            nums, metas = args
             for t in range(CHUNK):
                 r = lambda col, _t=t: scratch_ref[base + _t, col]  # noqa: E731
                 take = takes[t]
-                c0v, c1v, c2v = covs[t]
-                csum = jnp.where(take, c0v + c1v + c2v, csum)
                 new_nums = []
                 for a in range(N_ATTR):
-                    num = (c0v * r(13 + a) + c1v * r(19 + a)
-                           + c2v * r(25 + a))
+                    num = r(13 + a) * X + r(19 + a) * Y + r(25 + a)
                     new_nums.append(jnp.where(take, num, nums[a]))
                 nums = tuple(new_nums)
                 metas = tuple(
                     jnp.where(take, r(31 + m), metas[m])
                     for m in range(N_META))
-            return csum, nums, metas
+            return nums, metas
 
-        csum, nums, metas = jax.lax.cond(
+        nums, metas = jax.lax.cond(
             jnp.any(group_any), attr_taken, lambda args: args,
-            (csum, nums, metas))
-        return best, csum, nums, metas
+            (nums, metas))
+        return best, nums, metas
 
     return _walk_bins_cols(counts_ref, bins_ref, rows_hbm, scratch_ref,
                            sem_ref, tile, eval_entry, init_state)
 
 
+def _peel_outputs(best, nums, metas):
+    """Shared peel perspective-divide epilogue (see _state_to_outputs)."""
+    hp, wp = best.shape
+    X, Y = _pixel_planes(hp, wp)
+    den = metas[N_META - 3] * X + metas[N_META - 2] * Y + metas[N_META - 1]
+    inv = jnp.where(den != 0.0, 1.0 / den, 0.0)
+    return best, nums * inv[None], metas, inv
+
+
 def _peel_state_shapes(hp: int, wp: int):
     return (
         jax.ShapeDtypeStruct((hp, wp), jnp.int32),       # best (smallest id)
-        jax.ShapeDtypeStruct((hp, wp), jnp.float32),     # csum
         jax.ShapeDtypeStruct((N_ATTR, hp, wp), jnp.float32),  # attr nums
         jax.ShapeDtypeStruct((N_META, hp, wp), jnp.float32),  # meta
     )
@@ -1731,17 +1716,15 @@ def _peel_state_shapes(hp: int, wp: int):
 def _peel_state_specs(tile_h: int, tile_w: int):
     return (
         pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-        pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM),
         pl.BlockSpec((N_ATTR, tile_h, tile_w), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
         pl.BlockSpec((N_META, tile_h, tile_w), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
     )
 
 
 def _peel_write_state(refs, state):
-    best_ref, cs_ref, nums_ref, metas_ref = refs
-    best1, cs1, nums1, metas1 = state
+    best_ref, nums_ref, metas_ref = refs
+    best1, nums1, metas1 = state
     best_ref[:, :] = best1
-    cs_ref[:, :] = cs1
     for a in range(N_ATTR):
         nums_ref[a, :, :] = nums1[a]
     for m in range(N_META):
@@ -1749,13 +1732,12 @@ def _peel_write_state(refs, state):
 
 
 def _peel_chunks_fresh_kernel(counts_ref, bins_ref, rows_hbm, zbase_ref,
-                              last_ref, best_ref, cs_ref, nums_ref, metas_ref,
+                              last_ref, best_ref, nums_ref, metas_ref,
                               scratch_ref, sem_ref, *,
                               tiles_x: int, tile_h: int, tile_w: int):
-    """First peel slab: fresh peel state (best = ID_INF, identity csum)."""
+    """First peel slab: fresh peel state (best = ID_INF)."""
     init = (
         jnp.full((tile_h, tile_w), ID_INF, jnp.int32),
-        jnp.ones((tile_h, tile_w), jnp.float32),
         tuple(jnp.zeros((tile_h, tile_w), jnp.float32)
               for _ in range(N_ATTR)),
         tuple(jnp.zeros((tile_h, tile_w), jnp.float32)
@@ -1764,25 +1746,24 @@ def _peel_chunks_fresh_kernel(counts_ref, bins_ref, rows_hbm, zbase_ref,
     state = _peel_stream_loop(counts_ref, bins_ref, rows_hbm, scratch_ref,
                               sem_ref, zbase_ref[:, :], last_ref[:, :], init,
                               tiles_x=tiles_x, tile_h=tile_h, tile_w=tile_w)
-    _peel_write_state((best_ref, cs_ref, nums_ref, metas_ref), state)
+    _peel_write_state((best_ref, nums_ref, metas_ref), state)
 
 
 def _peel_chunks_state_kernel(counts_ref, bins_ref, rows_hbm, zbase_ref,
-                              last_ref, best_in, cs_in, nums_in, metas_in,
-                              best_ref, cs_ref, nums_ref, metas_ref,
+                              last_ref, best_in, nums_in, metas_in,
+                              best_ref, nums_ref, metas_ref,
                               scratch_ref, sem_ref, *,
                               tiles_x: int, tile_h: int, tile_w: int):
     """Continuation peel slab: carries the previous slab's peel state."""
     init = (
         best_in[:, :],
-        cs_in[:, :],
         tuple(nums_in[a, :, :] for a in range(N_ATTR)),
         tuple(metas_in[m, :, :] for m in range(N_META)),
     )
     state = _peel_stream_loop(counts_ref, bins_ref, rows_hbm, scratch_ref,
                               sem_ref, zbase_ref[:, :], last_ref[:, :], init,
                               tiles_x=tiles_x, tile_h=tile_h, tile_w=tile_w)
-    _peel_write_state((best_ref, cs_ref, nums_ref, metas_ref), state)
+    _peel_write_state((best_ref, nums_ref, metas_ref), state)
 
 
 def _peel_slab_call(ccounts, bins3, rows64, z_base, last_id, state, *,
@@ -1824,7 +1805,7 @@ def _peel_slab_call(ccounts, bins3, rows64, z_base, last_id, state, *,
                           tile_h=tile_h, tile_w=tile_w),
         in_specs=base_specs + list(_peel_state_specs(tile_h, tile_w)),
         # carry the 20 peel-state planes in place
-        input_output_aliases={5: 0, 6: 1, 7: 2, 8: 3},
+        input_output_aliases={5: 0, 6: 1, 7: 2},
         **common,
     )(*args, *state)
 
@@ -1841,7 +1822,7 @@ def rasterize_peel_slabs(fat_rows, bins_full, counts, z_base, last_id, *,
     bins_full/counts: bin_triangles_full output over chunk AABBs. The peel
     is a min-reduction over eligible triangle ids, so the carried-state slab
     pattern of rasterize_fused_slabs applies unchanged: each slab carries
-    (best, csum, nums, metas), slabs past every tile's count cost one
+    (best, nums, metas), slabs past every tile's count cost one
     predicate, the perspective divide runs once after the last slab. With
     this, NO path in the renderer has a triangle capacity — full parity
     with the reference's cliff-free pipeline (vk_engine.cpp:1453-1465).
@@ -1852,12 +1833,11 @@ def rasterize_peel_slabs(fat_rows, bins_full, counts, z_base, last_id, *,
     C = fat_rows.shape[0] // CHUNK
     rows64 = _prep_stream_rows(fat_rows)
     kw = dict(tiles_x=tiles_x, tiles_y=tiles_y, tile_w=tile_w, tile_h=tile_h)
-    best, cs, nums, metas = _for_each_slab(
+    best, nums, metas = _for_each_slab(
         bins_full, counts, C, slab_cap,
         lambda sc, b3: _peel_slab_call(sc, b3, rows64, z_base, last_id,
                                        None, **kw),
         lambda sc, b3, st: _peel_slab_call(sc, b3, rows64, z_base, last_id,
                                            st, **kw))
-    inv = jnp.where(cs != 0.0, 1.0 / cs, 0.0)
-    return best, nums * inv[None], metas, inv
+    return _peel_outputs(best, nums, metas)
 

@@ -36,12 +36,17 @@ from tpu_renderer.resources import (
 C_EDGE = 0     # 9: edge planes (barycentric numerators)
 C_Z = 9        # 3: affine depth plane
 C_MAT = 12     # 1: material id
-C_ATTR = 13    # 18: per-corner [light_num, r, g, b, u, v], corner-major.
-#                light_num = dot(model-rotated normal, sun_dir): mesh.frag
-#                uses the interpolated normal ONLY through this dot
-#                (shaders/mesh.frag:13), and the dot commutes with linear
-#                interpolation, so one light-numerator channel replaces the
-#                three normal channels.
+C_ATTR = 13    # 18: attribute-numerator PLANES, coefficient-major:
+#                [pa x6, pb x6, pc x6] with num_a(X,Y) = pa*X + pb*Y + pc
+#                = c0*A0 + c1*A1 + c2*A2 folded at setup (the GPU
+#                plane-equation interpolator). Attribute order:
+#                [light_num, r, g, b, u, v]. light_num = dot(model-rotated
+#                normal, sun_dir): mesh.frag uses the interpolated normal
+#                ONLY through this dot (shaders/mesh.frag:13), and the dot
+#                commutes with linear interpolation, so one light-numerator
+#                channel replaces the three normal channels. Per-pixel
+#                interpolation is num_a * inv with inv = 1/den — 2 FMA + 1
+#                mul instead of the 3-mul/2-add barycentric weighting.
 C_TEX = 31     # 6: base_x, base_y, w0, h0, n_levels, filter_flags
 C_GRAD = 37    # 6: nu_a, nu_b, nv_a, nv_b, den_a, den_b — per-triangle uv
 #                screen-gradient constants: uv(X,Y) = num(X,Y)/den(X,Y) with
@@ -50,9 +55,16 @@ C_GRAD = 37    # 6: nu_a, nu_b, nv_a, nv_b, den_a, den_b — per-triangle uv
 #                (the hardware-matching fix for quad-derivative silhouette
 #                divergence; /root/reference/shaders/mesh.frag:15 gets this
 #                from texture()'s implicit same-primitive derivatives).
+#                nu_*/nv_* duplicate the u/v attr-plane slopes (cols 17, 23,
+#                18, 24) so the carried meta block stays contiguous.
+C_DEN = 43     # 1: den_c — with den_a/den_b (C_GRAD+4/5) the denominator
+#                plane den(X,Y) = sum of the three barycentric numerators;
+#                carrying the 3 coefficients replaces the old per-pixel
+#                csum framebuffer plane (csum is recomputed from the
+#                winner's den plane in the XLA epilogue).
 SHADE_COLS = 48
 N_ATTR = 6     # interpolated attribute planes (light_num, rgb, uv)
-N_META = 12    # per-winner constant planes (C_TEX 6 + C_GRAD 6)
+N_META = 13    # per-winner constant planes (C_TEX 6 + C_GRAD 6 + den_c)
 
 
 def build_shade_rows(packed, attrs, mat_meta):
@@ -60,28 +72,32 @@ def build_shade_rows(packed, attrs, mat_meta):
 
     mat_meta rows: [base_x, base_y, w0, h0, n_levels, filter_flags, 0, 0]
     (f32 values; all are small integers, exactly representable).
+    Folds the per-corner attributes into numerator PLANES (see C_ATTR):
+    pa_a = sum_i edge_i_Xslope * attr[i, a], etc.
     """
-    T = packed.shape[0]
     mat = packed[:, 13].astype(jnp.int32)
     meta = mat_meta[jnp.clip(mat, 0, mat_meta.shape[0] - 1)]  # (T, 8)
-    # analytic uv-gradient constants from the edge planes + corner uvs
     A = packed[:, (0, 3, 6)]                 # (T, 3) edge-plane X slopes
     B = packed[:, (1, 4, 7)]                 # (T, 3) edge-plane Y slopes
-    u = attrs[:, :, 4]
-    v = attrs[:, :, 5]
+    Cc = packed[:, (2, 5, 8)]                # (T, 3) edge-plane constants
+    pa = jnp.einsum("tc,tca->ta", A, attrs)  # (T, 6) numerator X slopes
+    pb = jnp.einsum("tc,tca->ta", B, attrs)  # (T, 6) numerator Y slopes
+    pc = jnp.einsum("tc,tca->ta", Cc, attrs)  # (T, 6) numerator constants
     grad = jnp.stack([
-        jnp.sum(A * u, axis=1), jnp.sum(B * u, axis=1),
-        jnp.sum(A * v, axis=1), jnp.sum(B * v, axis=1),
+        pa[:, 4], pb[:, 4], pa[:, 5], pb[:, 5],
         jnp.sum(A, axis=1), jnp.sum(B, axis=1),
     ], axis=1)                               # (T, 6)
+    den_c = jnp.sum(Cc, axis=1, keepdims=True)  # (T, 1)
+    T = packed.shape[0]
     return jnp.concatenate(
         [
             packed[:, 0:12],
             packed[:, 13:14],
-            attrs.reshape(T, 18),
+            pa, pb, pc,
             meta[:, :6],
             grad,
-            jnp.zeros((T, 5), jnp.float32),
+            den_c,
+            jnp.zeros((T, 4), jnp.float32),
         ],
         axis=1,
     )
@@ -286,19 +302,13 @@ def shade_core(t, shade_rows, atlas, ambient_rgb, sun_dir, sun_power,
 
     xx = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1).astype(jnp.float32) + 0.5
     yy = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0).astype(jnp.float32) + 0.5
-    c0 = g[..., 0] * xx + g[..., 1] * yy + g[..., 2]
-    c1 = g[..., 3] * xx + g[..., 4] * yy + g[..., 5]
-    c2 = g[..., 6] * xx + g[..., 7] * yy + g[..., 8]
-    csum = c0 + c1 + c2
-    inv = jnp.where(csum != 0.0, 1.0 / csum, 0.0)
-    b0 = c0 * inv
-    b1 = c1 * inv
-    b2 = c2 * inv
+    den = g[..., C_GRAD + 4] * xx + g[..., C_GRAD + 5] * yy + g[..., C_DEN]
+    inv = jnp.where(den != 0.0, 1.0 / den, 0.0)
 
-    # perspective-correct interpolation, one plane per attribute
+    # perspective-correct interpolation: numerator plane eval * 1/den
     interp = [
-        g[..., C_ATTR + a] * b0 + g[..., C_ATTR + 6 + a] * b1
-        + g[..., C_ATTR + 12 + a] * b2
+        (g[..., C_ATTR + a] * xx + g[..., C_ATTR + 6 + a] * yy
+         + g[..., C_ATTR + 12 + a]) * inv
         for a in range(N_ATTR)
     ]
     grads = uv_gradients(interp[4], interp[5],
