@@ -23,7 +23,7 @@ from tpu_renderer.config import RendererConfig
 from tpu_renderer.kernels import raster, shade, vertex
 
 W, H = 1920, 1080
-TILE_W, TILE_H = 128, 32
+TILE_W, TILE_H = 128, int(os.environ.get("AB_TILE_H", "32"))
 TX, TY = W // TILE_W, (H + TILE_H - 1) // TILE_H
 KW = dict(tiles_x=TX, tiles_y=TY, tile_w=TILE_W, tile_h=TILE_H)
 

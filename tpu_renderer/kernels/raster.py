@@ -44,6 +44,15 @@ from tpu_renderer.kernels.shade import N_ATTR, N_META
 DEPTH_CLEAR = 0.0  # vk_initializers.cpp:144 (reversed-Z)
 NO_TRI = -1
 CHUNK = 8  # triangles per binning chunk (granularity of the coarse bins; measured sweet spot vs 4 and 16)
+ROW_PAD = 128  # stream-row lane width: Mosaic requires HBM slice shapes
+#                128-aligned on the minor dimension
+ROW_TRIS = 2   # triangles packed per 128-lane stream row: the 44 used fat-
+#                row columns fit a 64-lane half, so tri t of a chunk lives
+#                at sublane t//2, lane half (t%2)*64 — the chunk block is a
+#                2 KiB (4, 128) slice instead of a 48-of-128-lane 4 KiB one
+#                (the raster is ~half DMA-bound; bytes halve, sublanes too)
+STREAM_ROWS = CHUNK // ROW_TRIS  # sublane rows per chunk block
+_HALF = ROW_PAD // ROW_TRIS
 _CHUNK_SHIFT = CHUNK.bit_length() - 1
 assert (1 << _CHUNK_SHIFT) == CHUNK  # tid >> shift == chunk id
 
@@ -787,7 +796,7 @@ NBUF = 4  # chunk-stream scratch slots: 3 copies in flight hide the HBM
 
 
 def _walk_bins_cols(counts_ref, bins_ref, rows_hbm, scratch_ref, sem_ref,
-                    tile, eval_entry, state, stride=CHUNK, pred=None):
+                    tile, eval_entry, state, stride=STREAM_ROWS, pred=None):
     """Walk a tile's column-major chunk bins, streaming the per-chunk
     fat-row DMA (HBM -> VMEM scratch) through an NBUF-slot rotating window
     (NBUF - 1 copies in flight ahead of the chunk being rasterized).
@@ -898,12 +907,18 @@ def _chunks_stream_loop(counts_ref, bins_ref, rows_hbm,
     X = (xx + j * tile_w).astype(jnp.float32) + jnp.float32(0.5)
     Y = (yy + i * tile_h).astype(jnp.float32) + jnp.float32(0.5)
 
+    import os as _os
+    _ABL = _os.environ.get("RASTER_ABLATION", "")
+
     def eval_chunk(base, tid_base):
+        if _ABL == "walk":
+            z_ref[0:1, :] = scratch_ref[pl.ds(base, 1), :z_ref.shape[1]]
+            return  # consume the DMA, no raster
         z = z_ref[:, :]
         tid = tid_ref[:, :]
         takes = []
         for t in range(CHUNK):
-            r = lambda col, _t=t: scratch_ref[base + _t, col]  # noqa: E731
+            r = lambda col, _t=t: scratch_ref[base + _t // ROW_TRIS, (_t % ROW_TRIS) * _HALF + col]  # noqa: E731
             e0a, e0b = r(0), r(1)
             e1a, e1b = r(3), r(4)
             e2a, e2b = r(6), r(7)
@@ -931,6 +946,8 @@ def _chunks_stream_loop(counts_ref, bins_ref, rows_hbm,
         for t in takes[1:]:
             group_any = group_any | t
 
+        if _ABL == "vis":
+            return
         # per-chunk attr skip measured: 12.5 FPS with vs 9.9 without
         # on the demo bench (whole chunks often miss a tile's pixels).
         # Attributes interpolate as numerator PLANES (2 FMA each; folded
@@ -942,7 +959,7 @@ def _chunks_stream_loop(counts_ref, bins_ref, rows_hbm,
             nums = [nums_ref[a, :, :] for a in range(N_ATTR)]
             metas = [metas_ref[m, :, :] for m in range(N_META)]
             for t in range(CHUNK):
-                r = lambda col, _t=t: scratch_ref[base + _t, col]  # noqa: E731
+                r = lambda col, _t=t: scratch_ref[base + _t // ROW_TRIS, (_t % ROW_TRIS) * _HALF + col]  # noqa: E731
                 take = takes[t]
                 for a in range(N_ATTR):
                     num = r(13 + a) * X + r(19 + a) * Y + r(25 + a)
@@ -1010,21 +1027,16 @@ def _raster_chunks_state_kernel(counts_ref, bins_ref, rows_hbm,
                         tile_h=tile_h, tile_w=tile_w)
 
 
-ROW_PAD = 128  # fat rows padded 48 -> 128 f32: Mosaic requires HBM slice
-#                shapes 128-aligned on the minor dimension (the chunk block
-#                is then a 4 KiB aligned contiguous slice)
-
-
 def _prep_stream_rows(fat_rows):
-    """(T, 48) fat rows -> (C, CHUNK, ROW_PAD) HBM-DMA-able chunk blocks.
+    """(T, 48) fat rows -> (C, STREAM_ROWS, ROW_PAD) HBM chunk blocks.
 
     The streaming kernels compute triangle ids as cid*CHUNK + t (ids are
     sequential within a chunk), so no id column is materialized here; only
     the gathered oracle kernels stamp column 47, and they do it themselves.
     """
     T = fat_rows.shape[0]
-    rows64 = jnp.pad(fat_rows, ((0, 0), (0, ROW_PAD - fat_rows.shape[1])))
-    return rows64.reshape(T // CHUNK, CHUNK, ROW_PAD)
+    half = jnp.pad(fat_rows, ((0, 0), (0, _HALF - fat_rows.shape[1])))
+    return half.reshape(T // CHUNK, STREAM_ROWS, ROW_PAD)
 
 
 def _state_shapes(hp: int, wp: int):
@@ -1064,7 +1076,7 @@ def _stream_slab_call(ccounts, bins3, rows64, state, *, tiles_x: int,
         grid=(tiles_y, tiles_x),
         out_specs=_state_specs(tile_h, tile_w),
         scratch_shapes=[
-            pltpu.VMEM((NBUF * CHUNK, ROW_PAD), jnp.float32),
+            pltpu.VMEM((NBUF * STREAM_ROWS, ROW_PAD), jnp.float32),
             pltpu.SemaphoreType.DMA((NBUF,)),
         ],
         interpret=use_interpret(),
@@ -1366,7 +1378,7 @@ def _accum_chunks_kernel(counts_ref, light_ref, bins_ref, rows_hbm,
 
         takes = []
         for t in range(CHUNK):
-            r = lambda col, _t=t: scratch_ref[base + _t, col]  # noqa: E731
+            r = lambda col, _t=t: scratch_ref[base + _t // ROW_TRIS, (_t % ROW_TRIS) * _HALF + col]  # noqa: E731
             e0a, e0b = r(0), r(1)
             e1a, e1b = r(3), r(4)
             e2a, e2b = r(6), r(7)
@@ -1388,7 +1400,7 @@ def _accum_chunks_kernel(counts_ref, light_ref, bins_ref, rows_hbm,
         def shade_taken(args):
             ar, ag, ab, cnt = args
             for t in range(CHUNK):
-                r = lambda col, _t=t: scratch_ref[base + _t, col]  # noqa: E731
+                r = lambda col, _t=t: scratch_ref[base + _t // ROW_TRIS, (_t % ROW_TRIS) * _HALF + col]  # noqa: E731
                 take = takes[t]
                 den = r(41) * X + r(42) * Y + r(43)
                 inv = jnp.where(den != 0.0, 1.0 / den, 0.0)
@@ -1467,7 +1479,7 @@ def _accum_slab_call(ccounts, light, bins3, rows64, z_base, *, tiles_x: int,
             pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((NBUF * CHUNK, ROW_PAD), jnp.float32),
+            pltpu.VMEM((NBUF * STREAM_ROWS, ROW_PAD), jnp.float32),
             pltpu.SemaphoreType.DMA((NBUF,)),
         ],
         interpret=use_interpret(),
@@ -1648,7 +1660,7 @@ def _peel_stream_loop(counts_ref, bins_ref, rows_hbm, scratch_ref, sem_ref,
         tid_base = cid * CHUNK
         takes = []
         for t in range(CHUNK):
-            r = lambda col, _t=t: scratch_ref[base + _t, col]  # noqa: E731
+            r = lambda col, _t=t: scratch_ref[base + _t // ROW_TRIS, (_t % ROW_TRIS) * _HALF + col]  # noqa: E731
             idx = tid_base + t
             e0a, e0b = r(0), r(1)
             e1a, e1b = r(3), r(4)
@@ -1675,7 +1687,7 @@ def _peel_stream_loop(counts_ref, bins_ref, rows_hbm, scratch_ref, sem_ref,
         def attr_taken(args):
             nums, metas = args
             for t in range(CHUNK):
-                r = lambda col, _t=t: scratch_ref[base + _t, col]  # noqa: E731
+                r = lambda col, _t=t: scratch_ref[base + _t // ROW_TRIS, (_t % ROW_TRIS) * _HALF + col]  # noqa: E731
                 take = takes[t]
                 new_nums = []
                 for a in range(N_ATTR):
@@ -1787,7 +1799,7 @@ def _peel_slab_call(ccounts, bins3, rows64, z_base, last_id, state, *,
         grid=(tiles_y, tiles_x),
         out_specs=_peel_state_specs(tile_h, tile_w),
         scratch_shapes=[
-            pltpu.VMEM((NBUF * CHUNK, ROW_PAD), jnp.float32),
+            pltpu.VMEM((NBUF * STREAM_ROWS, ROW_PAD), jnp.float32),
             pltpu.SemaphoreType.DMA((NBUF,)),
         ],
         interpret=use_interpret(),
