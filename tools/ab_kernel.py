@@ -44,7 +44,7 @@ def setup_scene(grid, seed=0):
         b.opaque_tri_vidx, b.opaque_tri_draw, b.opaque_tri_valid,
         b.draw_model, vis, b.draw_mat, b.mat_color_factors, viewproj,
         W, H, sun_dir=params.sun_dir[:3])
-    rows = shade.build_shade_rows(s.packed, s.attrs, b.mat_meta)
+    rows = shade.build_shade_rows(s.packed, s.attrs, b.mat_meta, aabb=s.aabb)
     return s.aabb, s.valid, rows
 
 

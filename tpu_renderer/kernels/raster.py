@@ -43,7 +43,15 @@ from tpu_renderer.kernels.shade import N_ATTR, N_META
 
 DEPTH_CLEAR = 0.0  # vk_initializers.cpp:144 (reversed-Z)
 NO_TRI = -1
-CHUNK = 8  # triangles per binning chunk (granularity of the coarse bins; measured sweet spot vs 4 and 16)
+import os as _os_mod
+# Triangles per binning chunk (the coarse-bin granularity and the DMA/SMEM
+# block size). Swept on the TPU with SMEM-staged rows (tools/ab_kernel.py,
+# demo/stress full pass, ms): 4: 22.6/46.3, 8: 15.0/31.2, 16: 12.7/25.4,
+# 32: 11.3/24.8, 64: 12.5/28.8 — per-entry walk+DMA overhead dominates the
+# looser chunk AABBs up to 32. The env override exists for A/B measurement
+# and for the CPU test tier (tests/conftest.py pins 8: interpret-mode cost
+# scales with the unroll).
+CHUNK = int(_os_mod.environ.get("RASTER_CHUNK", "32"))
 ROW_PAD = 128  # stream-row lane width: Mosaic requires HBM slice shapes
 #                128-aligned on the minor dimension
 ROW_TRIS = 2   # triangles packed per 128-lane stream row: the 44 used fat-
@@ -912,13 +920,19 @@ def _chunks_stream_loop(counts_ref, bins_ref, rows_hbm,
 
     def eval_chunk(base, tid_base):
         if _ABL == "walk":
-            z_ref[0:1, :] = scratch_ref[pl.ds(base, 1), :z_ref.shape[1]]
+            z_ref[0:1, :] = jnp.full((1, z_ref.shape[1]),
+                                     scratch_ref[base, 0], jnp.float32)
             return  # consume the DMA, no raster
         z = z_ref[:, :]
         tid = tid_ref[:, :]
         takes = []
         for t in range(CHUNK):
-            r = lambda col, _t=t: scratch_ref[base + _t // ROW_TRIS, (_t % ROW_TRIS) * _HALF + col]  # noqa: E731
+            if _ABL == "consts":
+                # same vector work, zero scalar loads: isolates the cost
+                # of the per-coefficient scalar VMEM reads
+                r = lambda col, _t=t: jnp.float32(0.001 * (col + _t + 1))  # noqa: E731
+            else:
+                r = lambda col, _t=t: scratch_ref[base + _t // ROW_TRIS, (_t % ROW_TRIS) * _HALF + col]  # noqa: E731
             e0a, e0b = r(0), r(1)
             e1a, e1b = r(3), r(4)
             e2a, e2b = r(6), r(7)
@@ -959,7 +973,10 @@ def _chunks_stream_loop(counts_ref, bins_ref, rows_hbm,
             nums = [nums_ref[a, :, :] for a in range(N_ATTR)]
             metas = [metas_ref[m, :, :] for m in range(N_META)]
             for t in range(CHUNK):
-                r = lambda col, _t=t: scratch_ref[base + _t // ROW_TRIS, (_t % ROW_TRIS) * _HALF + col]  # noqa: E731
+                if _ABL == "consts":
+                    r = lambda col, _t=t: jnp.float32(0.001 * (col + _t + 1))  # noqa: E731
+                else:
+                    r = lambda col, _t=t: scratch_ref[base + _t // ROW_TRIS, (_t % ROW_TRIS) * _HALF + col]  # noqa: E731
                 take = takes[t]
                 for a in range(N_ATTR):
                     num = r(13 + a) * X + r(19 + a) * Y + r(25 + a)
@@ -1076,7 +1093,11 @@ def _stream_slab_call(ccounts, bins3, rows64, state, *, tiles_x: int,
         grid=(tiles_y, tiles_x),
         out_specs=_state_specs(tile_h, tile_w),
         scratch_shapes=[
-            pltpu.VMEM((NBUF * STREAM_ROWS, ROW_PAD), jnp.float32),
+            # SMEM, not VMEM: every coefficient is consumed as a SCALAR
+            # broadcast (r(col) in the loops) — staging the chunk rows in
+            # scalar memory makes those ~168 loads/chunk scalar-core
+            # loads instead of VMEM->sreg reads (measured 20.2 -> ? ms)
+            pltpu.SMEM((NBUF * STREAM_ROWS, ROW_PAD), jnp.float32),
             pltpu.SemaphoreType.DMA((NBUF,)),
         ],
         interpret=use_interpret(),
@@ -1479,7 +1500,7 @@ def _accum_slab_call(ccounts, light, bins3, rows64, z_base, *, tiles_x: int,
             pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((NBUF * STREAM_ROWS, ROW_PAD), jnp.float32),
+            pltpu.SMEM((NBUF * STREAM_ROWS, ROW_PAD), jnp.float32),  # scalar-consumed coeffs: see _stream_slab_call
             pltpu.SemaphoreType.DMA((NBUF,)),
         ],
         interpret=use_interpret(),
@@ -1799,7 +1820,7 @@ def _peel_slab_call(ccounts, bins3, rows64, z_base, last_id, state, *,
         grid=(tiles_y, tiles_x),
         out_specs=_peel_state_specs(tile_h, tile_w),
         scratch_shapes=[
-            pltpu.VMEM((NBUF * STREAM_ROWS, ROW_PAD), jnp.float32),
+            pltpu.SMEM((NBUF * STREAM_ROWS, ROW_PAD), jnp.float32),  # scalar-consumed coeffs: see _stream_slab_call
             pltpu.SemaphoreType.DMA((NBUF,)),
         ],
         interpret=use_interpret(),

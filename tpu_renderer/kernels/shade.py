@@ -67,13 +67,18 @@ N_ATTR = 6     # interpolated attribute planes (light_num, rgb, uv)
 N_META = 13    # per-winner constant planes (C_TEX 6 + C_GRAD 6 + den_c)
 
 
-def build_shade_rows(packed, attrs, mat_meta):
+def build_shade_rows(packed, attrs, mat_meta, aabb=None):
     """(T,16) setup rows + (T,3,6) attrs + (M,8) material meta -> (T,48).
 
     mat_meta rows: [base_x, base_y, w0, h0, n_levels, filter_flags, 0, 0]
     (f32 values; all are small integers, exactly representable).
     Folds the per-corner attributes into numerator PLANES (see C_ATTR):
     pa_a = sum_i edge_i_Xslope * attr[i, a], etc.
+
+    aabb: optional (T, 4) f32 (xmin, ymin, xmax, ymax) screen boxes,
+    stored in columns 44-47 — the streaming raster loops use them as a
+    per-triangle scalar skip test against the tile rect. When omitted,
+    a never-skip sentinel box keeps every triangle eligible everywhere.
     """
     mat = packed[:, 13].astype(jnp.int32)
     meta = mat_meta[jnp.clip(mat, 0, mat_meta.shape[0] - 1)]  # (T, 8)
@@ -89,6 +94,9 @@ def build_shade_rows(packed, attrs, mat_meta):
     ], axis=1)                               # (T, 6)
     den_c = jnp.sum(Cc, axis=1, keepdims=True)  # (T, 1)
     T = packed.shape[0]
+    if aabb is None:
+        aabb = jnp.broadcast_to(
+            jnp.asarray([0.0, 0.0, 1e9, 1e9], jnp.float32), (T, 4))
     return jnp.concatenate(
         [
             packed[:, 0:12],
@@ -97,7 +105,7 @@ def build_shade_rows(packed, attrs, mat_meta):
             meta[:, :6],
             grad,
             den_c,
-            jnp.zeros((T, 4), jnp.float32),
+            aabb.astype(jnp.float32),
         ],
         axis=1,
     )

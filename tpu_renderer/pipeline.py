@@ -165,7 +165,8 @@ def render_frame(buffers: SceneBuffers, params: FrameParams, *,
             buffers.draw_mat, buffers.mat_color_factors, viewproj,
             width, height, sun_dir=params.sun_dir[:3],
         )
-        rows = shade.build_shade_rows(setup.packed, setup.attrs, buffers.mat_meta)
+        rows = shade.build_shade_rows(setup.packed, setup.attrs,
+                                      buffers.mat_meta, aabb=setup.aabb)
         if fused:
             # screen-space spatial sort before chunking: tight chunk AABBs
             # -> ~35% fewer chunk-bin entries to DMA + raster (see
@@ -226,7 +227,7 @@ def render_frame(buffers: SceneBuffers, params: FrameParams, *,
         )
         caabb_t, cvalid_t = raster.chunk_aabbs(setup_t.aabb, setup_t.valid)
         rows_t = shade.build_shade_rows(setup_t.packed, setup_t.attrs,
-                                        buffers.mat_meta)
+                                        buffers.mat_meta, aabb=setup_t.aabb)
 
         if fused and not transp_textured:
             # mesh.frag writes alpha = 1.0 always (shaders/mesh.frag:18), so
@@ -235,14 +236,20 @@ def render_frame(buffers: SceneBuffers, params: FrameParams, *,
             # accumulates EVERY layer (no peel cap; uncapped slab bins, so
             # nothing can overflow either; no expand/refine).
             overflow_tc = overflow_tt = jnp.int32(0)
+            # the accumulation is an order-independent sum, so the spatial
+            # sort is semantically free here; it keeps CHUNK-triangle AABB
+            # unions tight (unsorted submission order interleaves meshes)
+            aabb_ta, valid_ta, rows_ta = raster.spatial_sort(
+                setup_t.aabb, setup_t.valid, rows_t)
+            caabb_ta, cvalid_ta = raster.chunk_aabbs(aabb_ta, valid_ta)
             cbins_tf, ccounts_tf = raster.bin_triangles_full(
-                caabb_t, cvalid_t, tiles_x=tiles_x, tiles_y=tiles_y,
+                caabb_ta, cvalid_ta, tiles_x=tiles_x, tiles_y=tiles_y,
                 tile_w=tile_w, tile_h=tile_h)
             light = jnp.concatenate([
                 params.sun_dir[:3], params.sun_color[3:4],
                 params.ambient[:3], jnp.zeros(1, jnp.float32)])
             acc, cnt = raster.rasterize_accum_slabs(
-                rows_t, cbins_tf, ccounts_tf, z, light,
+                rows_ta, cbins_tf, ccounts_tf, z, light,
                 tiles_x=tiles_x, tiles_y=tiles_y,
                 tile_w=tile_w, tile_h=tile_h)
             covered = cnt > 0
