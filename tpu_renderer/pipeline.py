@@ -103,6 +103,21 @@ def _background(params: FrameParams, hp: int, wp: int, height: int):
 
 
 @functools.partial(
+    jax.jit, static_argnames=("width", "height", "tile_h", "tile_w"))
+def background_fb(params: FrameParams, *, width: int, height: int,
+                  tile_h: int = 32, tile_w: int = 128):
+    """The background pass alone, at the padded draw extent.
+
+    A pure function of the background effect/params: the reference runs
+    draw_background every frame (vk_engine.cpp:1341-1355) but its inputs
+    only change on user input, so the Engine caches this across frames and
+    passes it to render_frame as bg_fb (~2.7 ms/frame at 1080p otherwise);
+    render_frames hoists the same computation out of its scan."""
+    wp, hp = pad_extent(width, height, tile_h, tile_w)
+    return _background(params, hp, wp, height)
+
+
+@functools.partial(
     jax.jit,
     static_argnames=("width", "height", "tile_h", "tile_w",
                      "bin_cap", "tri_cap", "fp16", "transp_textured",
