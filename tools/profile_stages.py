@@ -91,17 +91,15 @@ def main():
             vis = vertex.draw_visibility(viewproj, buffers.draw_model,
                                          buffers.draw_bounds_origin,
                                          buffers.draw_bounds_extents)
-            setup = vertex.triangle_setup(
-                buffers.positions, buffers.normals, buffers.colors, buffers.uvs,
-                buffers.opaque_tri_vidx, buffers.opaque_tri_draw,
-                buffers.opaque_tri_valid, buffers.draw_model, vis,
-                buffers.draw_mat, buffers.mat_color_factors, viewproj,
+            setup = vertex.triangle_setup_c(
+                buffers.opaque_corners, buffers.opaque_tri_draw,
+                buffers.opaque_tri_valid, buffers.draw_model, vis, viewproj,
                 width, height, sun_dir=params.sun_dir[:3])
             if upto == 1:
                 return checksum(setup.packed) + checksum(setup.attrs)
 
             rows0 = shade.build_shade_rows(setup.packed, setup.attrs,
-                                           buffers.mat_meta)
+                                           meta6=buffers.opaque_corners.meta6)
             aabb_s, valid_s, rows_s = raster.spatial_sort(
                 setup.aabb, setup.valid, rows0)
             caabb, cvalid = raster.chunk_aabbs(aabb_s, valid_s)
@@ -132,12 +130,10 @@ def main():
             if upto == 5:
                 return checksum(fb)
 
-            setup_t = vertex.triangle_setup(
-                buffers.positions, buffers.normals, buffers.colors, buffers.uvs,
-                buffers.transp_tri_vidx, buffers.transp_tri_draw,
+            setup_t = vertex.triangle_setup_c(
+                buffers.transp_corners, buffers.transp_tri_draw,
                 buffers.transp_tri_valid, buffers.draw_model,
-                jnp.ones_like(vis),
-                buffers.draw_mat, buffers.mat_color_factors, viewproj,
+                jnp.ones_like(vis), viewproj,
                 width, height, sun_dir=params.sun_dir[:3])
             caabb_t, cvalid_t = raster.chunk_aabbs(setup_t.aabb, setup_t.valid)
             cbins_t, ccounts_t = raster.bin_triangles_full(
@@ -147,7 +143,7 @@ def main():
                 return checksum(cbins_t.astype(jnp.float32))
 
             rows_t = shade.build_shade_rows(setup_t.packed, setup_t.attrs,
-                                            buffers.mat_meta)
+                                            meta6=buffers.transp_corners.meta6)
             light = jnp.concatenate([
                 params.sun_dir[:3], params.sun_color[3:4],
                 params.ambient[:3], jnp.zeros(1, jnp.float32)])

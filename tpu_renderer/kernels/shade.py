@@ -67,7 +67,7 @@ N_ATTR = 6     # interpolated attribute planes (light_num, rgb, uv)
 N_META = 13    # per-winner constant planes (C_TEX 6 + C_GRAD 6 + den_c)
 
 
-def build_shade_rows(packed, attrs, mat_meta, aabb=None):
+def build_shade_rows(packed, attrs, mat_meta=None, aabb=None, meta6=None):
     """(T,16) setup rows + (T,3,6) attrs + (M,8) material meta -> (T,48).
 
     mat_meta rows: [base_x, base_y, w0, h0, n_levels, filter_flags, 0, 0]
@@ -79,9 +79,18 @@ def build_shade_rows(packed, attrs, mat_meta, aabb=None):
     stored in columns 44-47 — the streaming raster loops use them as a
     per-triangle scalar skip test against the tile rect. When omitted,
     a never-skip sentinel box keeps every triangle eligible everywhere.
+
+    meta6: optional (T, 6) f32 — the per-triangle texture-binding row
+    precomputed at scene flatten (vertex.CornerData.meta6); when given,
+    the per-frame mat_meta gather is skipped (material bindings are
+    static — the reference's descriptor sets are written once per scene
+    too, vk_engine.cpp:1690-1714).
     """
-    mat = packed[:, 13].astype(jnp.int32)
-    meta = mat_meta[jnp.clip(mat, 0, mat_meta.shape[0] - 1)]  # (T, 8)
+    if meta6 is None:
+        mat = packed[:, 13].astype(jnp.int32)
+        meta = mat_meta[jnp.clip(mat, 0, mat_meta.shape[0] - 1)]  # (T, 8)
+    else:
+        meta = meta6
     A = packed[:, (0, 3, 6)]                 # (T, 3) edge-plane X slopes
     B = packed[:, (1, 4, 7)]                 # (T, 3) edge-plane Y slopes
     Cc = packed[:, (2, 5, 8)]                # (T, 3) edge-plane constants

@@ -56,6 +56,55 @@ class TriangleSetup(NamedTuple):
     valid: jax.Array    # (T,) bool
 
 
+class CornerData(NamedTuple):
+    """Corner-expanded static geometry, precomputed ONCE per scene.
+
+    Vertex positions/normals/colors/uvs and the per-triangle material are
+    constant across frames (only node transforms animate), so the per-corner
+    gathers positions[tri_vidx] etc. — ~16 gather-issues per triangle at
+    ~4 ns each, the whole cull/setup stage cost — move out of the frame
+    function into scene flattening. The reference pays the analogous cost
+    once too: vertices are interleaved at load time (vk_loader.cpp:286-358)
+    and the GPU's vertex fetch streams them contiguously.
+    """
+
+    pos: jax.Array    # (T, 3, 3) f32 — corner positions (mesh space)
+    nrm: jax.Array    # (T, 3, 3) f32 — corner normals (mesh space)
+    col: jax.Array    # (T, 3, 3) f32 — corner rgb * material color_factors
+    #                   (mesh.vert:36 — both factors are static)
+    uv: jax.Array     # (T, 3, 2) f32
+    mat: jax.Array    # (T,) i32 — material id (padding rows -> 0)
+    meta6: jax.Array  # (T, 6) f32 — mat_meta[:, :6] texture-binding row
+
+
+def expand_corners(positions, normals, colors, uvs, tri_vidx, tri_draw,
+                   tri_valid, draw_mat, mat_color_factors,
+                   mat_meta=None) -> CornerData:
+    """Build CornerData from indexed geometry. Pure; runs once per scene
+    (called by scene.flatten_scene) or inside the compatibility
+    triangle_setup wrapper for small/test scenes."""
+    vidx = jnp.asarray(tri_vidx)
+    draw = jnp.asarray(tri_draw)
+    draw_mat = jnp.asarray(draw_mat)
+    static_ok = jnp.asarray(tri_valid) & (draw >= 0)
+    if draw_mat.shape[0]:
+        mat = jnp.where(static_ok, draw_mat[jnp.clip(draw, 0, None)], 0)
+    else:
+        mat = jnp.zeros(draw.shape, jnp.int32)
+    mat = mat.astype(jnp.int32)
+    pos = jnp.asarray(positions)[vidx]
+    nrm = jnp.asarray(normals)[vidx]
+    factors = jnp.asarray(mat_color_factors)
+    col = jnp.asarray(colors)[vidx][..., :3] * factors[mat][:, None, :3]
+    uv = jnp.asarray(uvs)[vidx]
+    if mat_meta is None:
+        meta6 = jnp.zeros((vidx.shape[0], 6), jnp.float32)
+    else:
+        mat_meta = jnp.asarray(mat_meta)
+        meta6 = mat_meta[jnp.clip(mat, 0, mat_meta.shape[0] - 1), :6]
+    return CornerData(pos=pos, nrm=nrm, col=col, uv=uv, mat=mat, meta6=meta6)
+
+
 def draw_visibility(viewproj, draw_model, bounds_origin, bounds_extents):
     """Per-draw frustum cull — exact semantics of is_visible (vk_engine.cpp:56-86).
 
@@ -103,12 +152,51 @@ def triangle_setup(
     sun_dir=None,   # (3,) f32 — sunlight_direction.xyz (mesh.frag:13);
     #                 None (visibility-only tests) bakes a zero light dot
 ) -> TriangleSetup:
-    """Batched mesh.vert + primitive setup. All shapes static; fully jittable."""
+    """Batched mesh.vert + primitive setup (compatibility form over indexed
+    geometry). The hot path precomputes CornerData once per scene and calls
+    triangle_setup_c directly; this wrapper expands corners inline (same
+    math, tested equivalent) for oracle tests and small scenes."""
+    corners = expand_corners(positions, normals, colors, uvs, tri_vidx,
+                             tri_draw, tri_valid, draw_mat, mat_color_factors)
+    return triangle_setup_c(corners, tri_draw, tri_valid, draw_model,
+                            draw_visible, viewproj, width, height,
+                            sun_dir=sun_dir)
+
+
+def triangle_setup_c(
+    corners: CornerData,
+    tri_draw,       # (T,) i32
+    tri_valid,      # (T,) bool
+    draw_model,     # (D, 4, 4) f32
+    draw_visible,   # (D,) bool
+    viewproj,       # (4, 4) f32
+    width: int,
+    height: int,
+    sun_dir=None,
+) -> TriangleSetup:
+    """Per-frame half of mesh.vert + primitive setup over corner-expanded
+    geometry. All shapes static; fully jittable.
+
+    Per-frame gathers are exactly 5 small-row lookups per triangle: the four
+    mvp columns + one packed [rotated-sun | visibility] per-draw row —
+    everything else (positions, normals, colors, uvs, material binding) was
+    corner-expanded once at scene flatten (see CornerData)."""
     f32 = jnp.float32
     W = f32(width)
     H = f32(height)
 
     mvp = jnp.einsum("ij,djk->dik", viewproj, draw_model)           # (D,4,4)
+    # mesh.frag:13 consumes the model-rotated normal ONLY via
+    # dot(model3 @ n, sun_dir) == dot(n, model3^T @ sun_dir): rotate the sun
+    # into each draw's mesh space ONCE per draw instead of gathering the
+    # (D, 3, 3) rotation per triangle (36-byte rows pay ~3x per index).
+    sd = jnp.zeros(3, f32) if sun_dir is None \
+        else jnp.asarray(sun_dir, f32)[:3]
+    ls = jnp.einsum("dji,j->di", draw_model[:, :3, :3], sd)          # (D,3)
+    # pack the frustum-cull bit into the same row: one gather serves both
+    lsvis = jnp.concatenate(
+        [ls, draw_visible.astype(f32)[:, None]], axis=1)             # (D,4)
+
     # Gather mvp COLUMN-wise: four (D, 4) 16-byte-row gathers instead of one
     # (D, 4, 4) 64-byte-row gather. 64-byte rows pay ~4x per index AND the
     # (D, 4, 4) table crosses the ~512 KB VMEM-staging cliff at D ~ 8k
@@ -116,7 +204,7 @@ def triangle_setup(
     # the slow regime; each (D, 4) column table stays fast to D ~ 32k.
     # clip_c = x*M[:,0] + y*M[:,1] + z*M[:,2] + M[:,3] (pos_h w = 1).
     mcol = [mvp[:, :, k][tri_draw][:, None, :] for k in range(4)]    # 4x(T,1,4)
-    pos = positions[tri_vidx]                                        # (T,3,3)
+    pos = corners.pos                                                # (T,3,3)
     clip = (pos[..., 0:1] * mcol[0] + pos[..., 1:2] * mcol[1]
             + pos[..., 2:3] * mcol[2] + mcol[3])                     # (T,3,4)
 
@@ -133,7 +221,8 @@ def triangle_setup(
     e2 = jnp.cross(p[:, 0], p[:, 1])
     det = jnp.sum(e0 * p[:, 0], axis=-1)
 
-    good = tri_valid & (tri_draw >= 0) & draw_visible[tri_draw] & (det != 0.0) & jnp.isfinite(det)
+    lv = lsvis[tri_draw]                                             # (T,4)
+    good = tri_valid & (tri_draw >= 0) & (lv[:, 3] > 0) & (det != 0.0) & jnp.isfinite(det)
 
     s = jnp.where(det < 0, f32(-1.0), f32(1.0))[:, None]
     inv_det = jnp.where(det == 0.0, f32(0.0), f32(1.0) / jnp.abs(det))[:, None]
@@ -166,26 +255,19 @@ def triangle_setup(
          jnp.clip(xmax, 0.0, W), jnp.clip(ymax, 0.0, H)], axis=-1)
     aabb = jnp.where(good[:, None], aabb, empty[None, :])
 
-    # Per-corner shading attributes.
-    mat_id = jnp.where(good, draw_mat[tri_draw], 0).astype(jnp.int32)
-    n = normals[tri_vidx]                                             # (T,3,3)
+    # Per-corner shading attributes — color/uv/material are static
+    # (CornerData); only the light dot is per-frame.
     # mesh.vert:35 — outNormal = (renderMatrix * vec4(n, 0)).xyz (NOT
     # normalized), consumed only through dot(N, sun_dir) in mesh.frag:13 —
-    # bake the dot per corner (linear, so interpolation commutes)
-    model3 = draw_model[tri_draw][:, :3, :3]
-    n_world = jnp.einsum("tij,tcj->tci", model3, n)
-    sd = jnp.zeros(3, f32) if sun_dir is None \
-        else jnp.asarray(sun_dir, f32)[:3]
-    light_num = jnp.einsum("tci,i->tc", n_world, sd)[..., None]       # (T,3,1)
-    # mesh.vert:36 — outColor = v.color.xyz * materialData.color_factors.xyz
-    col = colors[tri_vidx][..., :3] * mat_color_factors[mat_id][:, None, :3]
-    uv = uvs[tri_vidx]                                                # (T,3,2)
-    attrs = jnp.concatenate([light_num, col, uv], axis=-1)            # (T,3,6)
+    # bake the dot per corner (linear, so interpolation commutes); computed
+    # in mesh space against the pre-rotated sun (see lsvis above)
+    light_num = jnp.einsum("tci,ti->tc", corners.nrm, lv[:, :3])[..., None]
+    attrs = jnp.concatenate([light_num, corners.col, corners.uv], axis=-1)
 
-    packed = jnp.zeros((tri_vidx.shape[0], SETUP_COLS), f32)
+    packed = jnp.zeros((tri_draw.shape[0], SETUP_COLS), f32)
     packed = packed.at[:, COL_E:COL_E + 9].set(cplane.reshape(-1, 9))
     packed = packed.at[:, COL_Z:COL_Z + 3].set(zplane)
     packed = packed.at[:, COL_VALID].set(good.astype(f32))
-    packed = packed.at[:, COL_MAT].set(mat_id.astype(f32))
+    packed = packed.at[:, COL_MAT].set(corners.mat.astype(f32))
 
     return TriangleSetup(packed=packed, aabb=aabb, attrs=attrs, valid=good)

@@ -58,6 +58,11 @@ class SceneBuffers(NamedTuple):
     mat_meta: jax.Array           # (M, 8) f32 — atlas base_x/base_y/w0/h0,
     #                               n_levels, filter_flags (texture binding state)
     atlas: TextureAtlas
+    # corner-expanded static geometry (vertex.CornerData) — precomputed once
+    # per scene so the frame function needs no per-corner vertex gathers
+    # (the analog of the loader's one-time interleave, vk_loader.cpp:286-358)
+    opaque_corners: "vertex.CornerData"
+    transp_corners: "vertex.CornerData"
 
 
 class FrameParams(NamedTuple):
@@ -173,15 +178,14 @@ def render_frame(buffers: SceneBuffers, params: FrameParams, *,
     z = jnp.full((hp, wp), raster.DEPTH_CLEAR, jnp.float32)
 
     if to > 0:
-        setup = vertex.triangle_setup(
-            buffers.positions, buffers.normals, buffers.colors, buffers.uvs,
-            buffers.opaque_tri_vidx, buffers.opaque_tri_draw,
-            buffers.opaque_tri_valid, buffers.draw_model, vis,
-            buffers.draw_mat, buffers.mat_color_factors, viewproj,
+        setup = vertex.triangle_setup_c(
+            buffers.opaque_corners, buffers.opaque_tri_draw,
+            buffers.opaque_tri_valid, buffers.draw_model, vis, viewproj,
             width, height, sun_dir=params.sun_dir[:3],
         )
         rows = shade.build_shade_rows(setup.packed, setup.attrs,
-                                      buffers.mat_meta, aabb=setup.aabb)
+                                      aabb=setup.aabb,
+                                      meta6=buffers.opaque_corners.meta6)
         if fused:
             # screen-space spatial sort before chunking: tight chunk AABBs
             # -> ~35% fewer chunk-bin entries to DMA + raster (see
@@ -233,16 +237,15 @@ def render_frame(buffers: SceneBuffers, params: FrameParams, *,
 
     # --- transparent pass: additive, depth-test-only, via depth peeling ------
     if tt > 0:
-        setup_t = vertex.triangle_setup(
-            buffers.positions, buffers.normals, buffers.colors, buffers.uvs,
-            buffers.transp_tri_vidx, buffers.transp_tri_draw,
-            buffers.transp_tri_valid, buffers.draw_model, all_vis,
-            buffers.draw_mat, buffers.mat_color_factors, viewproj,
+        setup_t = vertex.triangle_setup_c(
+            buffers.transp_corners, buffers.transp_tri_draw,
+            buffers.transp_tri_valid, buffers.draw_model, all_vis, viewproj,
             width, height, sun_dir=params.sun_dir[:3],
         )
         caabb_t, cvalid_t = raster.chunk_aabbs(setup_t.aabb, setup_t.valid)
         rows_t = shade.build_shade_rows(setup_t.packed, setup_t.attrs,
-                                        buffers.mat_meta, aabb=setup_t.aabb)
+                                        aabb=setup_t.aabb,
+                                        meta6=buffers.transp_corners.meta6)
 
         if fused and not transp_textured:
             # mesh.frag writes alpha = 1.0 always (shaders/mesh.frag:18), so

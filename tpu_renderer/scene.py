@@ -26,7 +26,7 @@ import numpy as np
 
 from tpu_renderer import gltf as gltf_mod
 from tpu_renderer import resources
-from tpu_renderer.kernels import raster
+from tpu_renderer.kernels import raster, vertex
 from tpu_renderer.pipeline import SceneBuffers
 
 # Default texture slots (init_default_data, vk_engine.cpp:226-306)
@@ -454,6 +454,17 @@ def flatten_scene(scene: LoadedScene, top_matrix: Optional[np.ndarray] = None,
         mat_meta[i, :6] = (bx, by, w0, h0, nlev, m.filter_flags)
 
     n_mat = len(scene.materials)
+    mat_cf = (np.stack([m.color_factors for m in scene.materials])
+              .astype(np.float32) if n_mat else np.ones((1, 4), np.float32))
+    # corner-expand the static geometry once (the one-time analog of the
+    # loader's vertex interleave, vk_loader.cpp:286-358): the frame function
+    # then needs no per-corner vertex/material gathers (see vertex.CornerData)
+    opc = vertex.expand_corners(
+        scene.positions, scene.normals, scene.colors, scene.uvs,
+        ov, od, oval, draw_mat, mat_cf, mat_meta)
+    trc = vertex.expand_corners(
+        scene.positions, scene.normals, scene.colors, scene.uvs,
+        tv, td, tval, draw_mat, mat_cf, mat_meta)
     buffers = SceneBuffers(
         positions=jnp.asarray(scene.positions),
         normals=jnp.asarray(scene.normals),
@@ -471,11 +482,11 @@ def flatten_scene(scene: LoadedScene, top_matrix: Optional[np.ndarray] = None,
             np.array([not o.transparent for o in objects], bool)),
         draw_bounds_origin=jnp.asarray(draw_bo),
         draw_bounds_extents=jnp.asarray(draw_be),
-        mat_color_factors=jnp.asarray(
-            np.stack([m.color_factors for m in scene.materials]).astype(np.float32)
-            if n_mat else np.ones((1, 4), np.float32)),
+        mat_color_factors=jnp.asarray(mat_cf),
         mat_meta=jnp.asarray(mat_meta),
         atlas=atlas,
+        opaque_corners=opc,
+        transp_corners=trc,
     )
     return FlattenedDrawList(
         objects=objects, n_opaque=n_opaque, buffers=buffers,
