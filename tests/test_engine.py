@@ -259,3 +259,31 @@ def test_deferred_dense_scene_escalates_and_redraws_same_frame():
     # ran exactly once (no double camera integration)
     assert len(calls) == 1
     assert img[16, 64][1] > 150  # the quad rendered (green center)
+
+
+def test_multichip_product_path(tmp_path):
+    """config.multichip routes Engine.draw through the sharded composite —
+    the CLI `--multichip ROWSxTRI` product path (not just the module) —
+    and the frame matches the single-chip engine on the same scene."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough devices")
+    path = str(tmp_path / "scene.glb")
+    build_demo_glb(path, grid=2)
+    kw = dict(width=128, height=64, camera_position=(0.0, 2.0, 12.0),
+              fused=False)
+    single = Engine(RendererConfig(**kw))
+    single.init(scene_path=path)
+    img_single = single.draw()
+
+    multi = Engine(RendererConfig(multichip=(2, 2), **kw))
+    multi.init(scene_path=path)
+    assert multi.mesh is not None
+    img_multi = multi.draw()
+    # textured scene: composite-order f32 rounding may move a channel one
+    # u8 step (the tests/test_multichip.py textured tolerance)
+    diff = np.abs(img_multi.astype(np.int32) - img_single.astype(np.int32))
+    assert diff.max() <= 1
+    # stats fall back to the static counts on the sharded path
+    assert multi.stats.triangle_count > 0
