@@ -39,7 +39,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tpu_renderer.kernels.common import cdiv, use_interpret
 from tpu_renderer.kernels import vertex as vx
-from tpu_renderer.kernels.shade import N_ATTR, N_META
+# the PUBLIC outputs keep shade.py's (attrs N_ATTR=6, metas N_META=13)
+# contract; the kernels carry the reduced N_NUMS/N_SMETA/N_GMETA planes
+# below and the epilogues reconstruct the public layout bit-exactly.
 
 DEPTH_CLEAR = 0.0  # vk_initializers.cpp:144 (reversed-Z)
 NO_TRI = -1
@@ -66,6 +68,51 @@ assert (1 << _CHUNK_SHIFT) == CHUNK  # tid >> shift == chunk id
 
 _FLT_MIN = 1.17549435e-38  # smallest NORMAL f32 (Python float: Pallas
 #                            kernels may not capture array constants)
+
+# ---------------------------------------------------------------------------
+# Fused-kernel carried-plane layout (the attr-block cut).
+#
+# The fused kernels select per-winner planes with one jnp.where per plane per
+# triangle, so every carried plane costs ~1 vector op per candidate. Two
+# reductions against the naive 6-attr + 13-meta carry (31 ops/tri -> 24):
+#
+# * u/v move from interpolated ATTRS (a plane eval + select each) to carried
+#   CONSTANTS: their plane coefficients are already in the meta block
+#   (nu_a/nu_b/nv_a/nv_b at C_GRAD; nu_c/nv_c appended below), and the XLA
+#   epilogue re-evaluates u = (nu_a*X + nu_b*Y + nu_c) * inv with the exact
+#   op order the kernel used — bit-identical, two fewer carried planes and
+#   two fewer in-loop plane evals.
+# * the 6 C_TEX metas (small exact ints) bit-pack into 3 u32 words, carried
+#   as BITCAST f32 planes (selects are bitwise moves). Bit 30 is set as a
+#   bias so every pattern is a normal f32 (magnitude in [2, 4)): no
+#   flush-to-zero or NaN-canonicalization hazard can touch the payload.
+#   The epilogue unpacks them back to exact small-int f32 planes.
+#
+# The gathered (oracle) kernels read (T, 48) fat rows that have no packed
+# columns, so they carry the 6 tex metas raw plus the same 9 gradient/
+# denominator planes; both variants feed one shared reconstruction epilogue,
+# keeping the public (attrs 6, metas 13, inv) contract bit-identical across
+# stream/gathered (the equivalence tests compare them with
+# assert_array_equal).
+N_NUMS = 4  # kernel-interpolated attribute planes: light_num, r, g, b
+# gathered kernels: meta columns read straight off the 48-col fat row
+#   [C_TEX x6, C_GRAD x6, den_c, nu_c (col 29 = pc[4]), nv_c (col 30)]
+GMETA_COLS = tuple(range(31, 44)) + (29, 30)
+N_GMETA = len(GMETA_COLS)  # 15
+# stream kernels: 3 packed tex words (stream-row cols 48-50, built by
+# _prep_stream_rows) + the 9 gradient/denominator planes + nu_c/nv_c copies
+# at cols 51-52
+SMETA_COLS = (48, 49, 50, 37, 38, 39, 40, 41, 42, 43, 51, 52)
+N_SMETA = len(SMETA_COLS)  # 12
+_PACK_BIAS = 1 << 30  # keeps packed bit patterns in normal-f32 range
+
+
+def _unpack2(plane):
+    """One packed-word f32 plane -> (hi, lo) exact small-int f32 planes."""
+    w = jax.lax.bitcast_convert_type(plane, jnp.int32)
+    hi = ((w >> 16) & 0x3FFF).astype(jnp.float32)  # mask strips _PACK_BIAS
+    lo = (w & 0xFFFF).astype(jnp.float32)
+    return hi, lo
 
 
 def _edge_bound(a, b):
@@ -669,7 +716,7 @@ def _raster_fused_kernel(counts_ref, rows_ref, z_ref, tid_ref, num_ref,
             tid = jnp.where(take, rows_ids_global(k), tid)
             takes.append(take)
 
-        # The attribute block (6 numerator-plane evals + 13 meta selects)
+        # The attribute block (4 numerator-plane evals + 15 meta selects)
         # only runs when at least one of the _UNROLL triangles won a pixel.
         # One any() reduce + branch per GROUP keeps the skip overhead small
         # on winner-dense tiles while overdraw-heavy tiles (most candidates
@@ -685,13 +732,13 @@ def _raster_fused_kernel(counts_ref, rows_ref, z_ref, tid_ref, num_ref,
                 r = lambda col, _k=k: rows_ref[0, _k, col]  # noqa: E731
                 take = takes[u]
                 new_nums = []
-                for a in range(N_ATTR):
+                for a in range(N_NUMS):
                     num = r(13 + a) * X + r(19 + a) * Y + r(25 + a)
                     new_nums.append(jnp.where(take, num, nums[a]))
                 nums = tuple(new_nums)
                 metas = tuple(
-                    jnp.where(take, r(31 + m), metas[m])
-                    for m in range(N_META))
+                    jnp.where(take, r(col), metas[m])
+                    for m, col in enumerate(GMETA_COLS))
             return nums, metas
 
         nums, metas = jax.lax.cond(
@@ -702,17 +749,17 @@ def _raster_fused_kernel(counts_ref, rows_ref, z_ref, tid_ref, num_ref,
     z0 = jnp.full((tile_h, tile_w), DEPTH_CLEAR, jnp.float32)
     tid0 = jnp.full((tile_h, tile_w), NO_TRI, jnp.int32)
     nums0 = tuple(jnp.zeros((tile_h, tile_w), jnp.float32)
-                  for _ in range(N_ATTR))
+                  for _ in range(N_NUMS))
     metas0 = tuple(jnp.zeros((tile_h, tile_w), jnp.float32)
-                   for _ in range(N_META))
+                   for _ in range(N_GMETA))
     n4 = (n + _UNROLL - 1) // _UNROLL
     z1, tid1, nums1, metas1 = jax.lax.fori_loop(
         0, n4, tri_body, (z0, tid0, nums0, metas0))
     z_ref[:, :] = z1
     tid_ref[:, :] = tid1
-    for a in range(N_ATTR):
+    for a in range(N_NUMS):
         num_ref[a, :, :] = nums1[a]
-    for m in range(N_META):
+    for m in range(N_GMETA):
         meta_ref[m, :, :] = metas1[m]
 
 
@@ -751,8 +798,8 @@ def rasterize_fused(fat_rows, bins, counts, *, tiles_x: int, tiles_y: int,
         out_shape=(
             jax.ShapeDtypeStruct((hp, wp), jnp.float32),
             jax.ShapeDtypeStruct((hp, wp), jnp.int32),
-            jax.ShapeDtypeStruct((N_ATTR, hp, wp), jnp.float32),
-            jax.ShapeDtypeStruct((N_META, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((N_NUMS, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((N_GMETA, hp, wp), jnp.float32),
         ),
         grid=(tiles_y, tiles_x),
         in_specs=[
@@ -764,12 +811,12 @@ def rasterize_fused(fat_rows, bins, counts, *, tiles_x: int, tiles_y: int,
         out_specs=(
             pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((N_ATTR, tile_h, tile_w), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((N_META, tile_h, tile_w), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N_NUMS, tile_h, tile_w), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N_GMETA, tile_h, tile_w), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
         ),
         interpret=use_interpret(),
     )(counts.reshape(n_tiles, 1), rows)
-    return _state_to_outputs(state)
+    return _gathered_to_outputs(state)
 
 
 BIN_LANES = 8  # lanes per bins-block sublane row (see _pack_bins_cols)
@@ -898,7 +945,7 @@ def _chunks_stream_loop(counts_ref, bins_ref, rows_hbm,
     copy of chunk k+1 overlaps the raster of chunk k. The loop bound is the
     tile's REAL chunk count — empty tiles cost nothing.
 
-    The framebuffer state (z, tid, nums x6, metas x13; nums PRE-divide —
+    The framebuffer state (z, tid, nums x4, metas x12; nums PRE-divide —
     the perspective divide happens in XLA after the last slab, see
     rasterize_fused_slabs) lives directly in the VMEM out refs and is
     read-modify-written per chunk — measured ~6% faster than carrying the
@@ -970,22 +1017,22 @@ def _chunks_stream_loop(counts_ref, bins_ref, rows_hbm,
         # register pressure than the old c-weighted barycentric sums).
         @pl.when(jnp.any(group_any))
         def _():
-            nums = [nums_ref[a, :, :] for a in range(N_ATTR)]
-            metas = [metas_ref[m, :, :] for m in range(N_META)]
+            nums = [nums_ref[a, :, :] for a in range(N_NUMS)]
+            metas = [metas_ref[m, :, :] for m in range(N_SMETA)]
             for t in range(CHUNK):
                 if _ABL == "consts":
                     r = lambda col, _t=t: jnp.float32(0.001 * (col + _t + 1))  # noqa: E731
                 else:
                     r = lambda col, _t=t: scratch_ref[base + _t // ROW_TRIS, (_t % ROW_TRIS) * _HALF + col]  # noqa: E731
                 take = takes[t]
-                for a in range(N_ATTR):
+                for a in range(N_NUMS):
                     num = r(13 + a) * X + r(19 + a) * Y + r(25 + a)
                     nums[a] = jnp.where(take, num, nums[a])
-                for m in range(N_META):
-                    metas[m] = jnp.where(take, r(31 + m), metas[m])
-            for a in range(N_ATTR):
+                for m, col in enumerate(SMETA_COLS):
+                    metas[m] = jnp.where(take, r(col), metas[m])
+            for a in range(N_NUMS):
                 nums_ref[a, :, :] = nums[a]
-            for m in range(N_META):
+            for m in range(N_SMETA):
                 metas_ref[m, :, :] = metas[m]
 
     def eval_entry(cid, base, carry):
@@ -1008,9 +1055,9 @@ def _clear_state(refs, tile_h: int, tile_w: int):
     z_ref, tid_ref, nums_ref, metas_ref = refs
     z_ref[:, :] = jnp.full((tile_h, tile_w), DEPTH_CLEAR, jnp.float32)
     tid_ref[:, :] = jnp.full((tile_h, tile_w), NO_TRI, jnp.int32)
-    for a in range(N_ATTR):
+    for a in range(N_NUMS):
         nums_ref[a, :, :] = jnp.zeros((tile_h, tile_w), jnp.float32)
-    for m in range(N_META):
+    for m in range(N_SMETA):
         metas_ref[m, :, :] = jnp.zeros((tile_h, tile_w), jnp.float32)
 
 
@@ -1034,9 +1081,9 @@ def _raster_chunks_state_kernel(counts_ref, bins_ref, rows_hbm,
     """Continuation slab: carries the previous slab's framebuffer state."""
     z_ref[:, :] = z_in[:, :]
     tid_ref[:, :] = tid_in[:, :]
-    for a in range(N_ATTR):
+    for a in range(N_NUMS):
         nums_ref[a, :, :] = nums_in[a, :, :]
-    for m in range(N_META):
+    for m in range(N_SMETA):
         metas_ref[m, :, :] = metas_in[m, :, :]
     refs = (z_ref, tid_ref, nums_ref, metas_ref)
     _chunks_stream_loop(counts_ref, bins_ref, rows_hbm,
@@ -1050,9 +1097,21 @@ def _prep_stream_rows(fat_rows):
     The streaming kernels compute triangle ids as cid*CHUNK + t (ids are
     sequential within a chunk), so no id column is materialized here; only
     the gathered oracle kernels stamp column 47, and they do it themselves.
+
+    Appends the stream-only carried-meta columns (see SMETA_COLS):
+    cols 48-50 the 3 bias-bitcast packed C_TEX words, cols 51-52 copies of
+    nu_c/nv_c (fat-row cols 29-30) so the 9-plane gradient block the kernel
+    selects is one contiguous loop. The 44 used fat-row columns + 5 extras
+    still fit the 64-lane half (ROW_TRIS=2 packing).
     """
     T = fat_rows.shape[0]
-    half = jnp.pad(fat_rows, ((0, 0), (0, _HALF - fat_rows.shape[1])))
+    ints = fat_rows[:, 31:37].astype(jnp.int32)  # bx, by, w0, h0, nl, fl
+    bias = jnp.int32(_PACK_BIAS)
+    packed = jax.lax.bitcast_convert_type(
+        bias | (ints[:, 0::2] << 16) | ints[:, 1::2], jnp.float32)  # (T, 3)
+    extra = jnp.concatenate([packed, fat_rows[:, 29:31]], axis=1)  # (T, 5)
+    half = jnp.concatenate([fat_rows, extra], axis=1)
+    half = jnp.pad(half, ((0, 0), (0, _HALF - half.shape[1])))
     return half.reshape(T // CHUNK, STREAM_ROWS, ROW_PAD)
 
 
@@ -1060,8 +1119,8 @@ def _state_shapes(hp: int, wp: int):
     return (
         jax.ShapeDtypeStruct((hp, wp), jnp.float32),    # z
         jax.ShapeDtypeStruct((hp, wp), jnp.int32),      # tid
-        jax.ShapeDtypeStruct((N_ATTR, hp, wp), jnp.float32),  # attr nums
-        jax.ShapeDtypeStruct((N_META, hp, wp), jnp.float32),  # meta
+        jax.ShapeDtypeStruct((N_NUMS, hp, wp), jnp.float32),  # attr nums
+        jax.ShapeDtypeStruct((N_SMETA, hp, wp), jnp.float32),  # meta
     )
 
 
@@ -1069,8 +1128,8 @@ def _state_specs(tile_h: int, tile_w: int):
     return (
         pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM),
         pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-        pl.BlockSpec((N_ATTR, tile_h, tile_w), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
-        pl.BlockSpec((N_META, tile_h, tile_w), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((N_NUMS, tile_h, tile_w), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((N_SMETA, tile_h, tile_w), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
     )
 
 
@@ -1113,7 +1172,7 @@ def _stream_slab_call(ccounts, bins3, rows64, state, *, tiles_x: int,
         functools.partial(_raster_chunks_state_kernel, tiles_x=tiles_x,
                           tile_h=tile_h, tile_w=tile_w),
         in_specs=base_specs + list(_state_specs(tile_h, tile_w)),
-        # carry the 21 framebuffer-state planes in place
+        # carry the 18 framebuffer-state planes in place
         input_output_aliases={3: 0, 4: 1, 5: 2, 6: 3},
         **common,
     )(ccounts.reshape(n_tiles, 1), bins3, rows64, *state)
@@ -1128,21 +1187,48 @@ def _pixel_planes(hp: int, wp: int):
     return X, Y
 
 
-def _state_to_outputs(state):
-    """Perspective-divide epilogue, shared by every fused raster variant.
+def _reconstruct_outputs(nums, tex6, g9):
+    """Shared fused-raster reconstruction epilogue (see the attr-block-cut
+    note at N_NUMS).
 
-    The denominator den(X,Y) (= sum of the barycentric numerators) is
-    recomputed from the winner's den-plane metas (C_GRAD+4/5 slopes +
-    C_DEN constant) instead of being carried as a per-pixel csum plane —
-    one framebuffer plane less in the kernels. Winnerless pixels have
-    zero metas -> den 0 -> inv 0 -> attrs 0 (masked by tid downstream).
+    nums: (N_NUMS, Hp, Wp) pre-divide [light_num, r, g, b] numerators;
+    tex6: 6 planes [base_x, base_y, w0, h0, n_levels, filter_flags];
+    g9: 9 planes [nu_a, nu_b, nv_a, nv_b, den_a, den_b, den_c, nu_c, nv_c].
+
+    Re-evaluates the winner's u/v numerator planes and the denominator at
+    the pixel centers (the exact per-pixel values the kernel used to select
+    with) and reassembles the public contract:
+    (attrs (6,Hp,Wp) interpolated, metas (13,Hp,Wp) tex6+grad6+den_c, inv).
+    Winnerless pixels have zero metas -> den 0 -> inv 0 -> attrs 0 (masked
+    by tid downstream).
     """
-    z, tid, nums, metas = state
-    hp, wp = z.shape
+    hp, wp = nums.shape[-2:]
     X, Y = _pixel_planes(hp, wp)
-    den = metas[N_META - 3] * X + metas[N_META - 2] * Y + metas[N_META - 1]
+    den = g9[4] * X + g9[5] * Y + g9[6]
     inv = jnp.where(den != 0.0, 1.0 / den, 0.0)
-    return z, tid, nums * inv[None], metas, inv
+    u_num = g9[0] * X + g9[1] * Y + g9[7]
+    v_num = g9[2] * X + g9[3] * Y + g9[8]
+    attrs = jnp.concatenate([nums, u_num[None], v_num[None]]) * inv[None]
+    metas = jnp.stack(list(tex6) + list(g9[:7]))
+    return attrs, metas, inv
+
+
+def _state_to_outputs(state):
+    """Epilogue for the STREAM kernels' carried state (N_SMETA layout)."""
+    z, tid, nums, metas = state
+    tex6 = _unpack2(metas[0]) + _unpack2(metas[1]) + _unpack2(metas[2])
+    attrs, metas_pub, inv = _reconstruct_outputs(
+        nums, tex6, tuple(metas[3 + k] for k in range(9)))
+    return z, tid, attrs, metas_pub, inv
+
+
+def _gathered_to_outputs(state):
+    """Epilogue for the GATHERED kernels' carried state (N_GMETA layout)."""
+    z, tid, nums, metas = state
+    attrs, metas_pub, inv = _reconstruct_outputs(
+        nums, tuple(metas[k] for k in range(6)),
+        tuple(metas[6 + k] for k in range(9)))
+    return z, tid, attrs, metas_pub, inv
 
 
 @functools.partial(
@@ -1578,13 +1664,13 @@ def _peel_fused_kernel(counts_ref, rows_ref, zbase_ref, last_ref,
                 r = lambda col, _k=k: rows_ref[0, _k, col]  # noqa: E731
                 take = takes[u]
                 new_nums = []
-                for a in range(N_ATTR):
+                for a in range(N_NUMS):
                     num = r(13 + a) * X + r(19 + a) * Y + r(25 + a)
                     new_nums.append(jnp.where(take, num, nums[a]))
                 nums = tuple(new_nums)
                 metas = tuple(
-                    jnp.where(take, r(31 + m), metas[m])
-                    for m in range(N_META))
+                    jnp.where(take, r(col), metas[m])
+                    for m, col in enumerate(GMETA_COLS))
             return nums, metas
 
         nums, metas = jax.lax.cond(
@@ -1594,16 +1680,16 @@ def _peel_fused_kernel(counts_ref, rows_ref, zbase_ref, last_ref,
 
     best0 = jnp.full((tile_h, tile_w), ID_INF, jnp.int32)
     nums0 = tuple(jnp.zeros((tile_h, tile_w), jnp.float32)
-                  for _ in range(N_ATTR))
+                  for _ in range(N_NUMS))
     metas0 = tuple(jnp.zeros((tile_h, tile_w), jnp.float32)
-                   for _ in range(N_META))
+                   for _ in range(N_GMETA))
     n4 = (n + _UNROLL - 1) // _UNROLL
     best1, nums1, metas1 = jax.lax.fori_loop(
         0, n4, tri_body, (best0, nums0, metas0))
     tid_ref[:, :] = best1
-    for a in range(N_ATTR):
+    for a in range(N_NUMS):
         num_ref[a, :, :] = nums1[a]
-    for m in range(N_META):
+    for m in range(N_GMETA):
         meta_ref[m, :, :] = metas1[m]
 
 
@@ -1634,8 +1720,8 @@ def rasterize_peel_fused(fat_rows, bins, counts, z_base, last_id, *,
                           tile_h=tile_h, tile_w=tile_w),
         out_shape=(
             jax.ShapeDtypeStruct((hp, wp), jnp.int32),
-            jax.ShapeDtypeStruct((N_ATTR, hp, wp), jnp.float32),
-            jax.ShapeDtypeStruct((N_META, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((N_NUMS, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((N_GMETA, hp, wp), jnp.float32),
         ),
         grid=(tiles_y, tiles_x),
         in_specs=[
@@ -1648,12 +1734,12 @@ def rasterize_peel_fused(fat_rows, bins, counts, z_base, last_id, *,
         ],
         out_specs=(
             pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((N_ATTR, tile_h, tile_w), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((N_META, tile_h, tile_w), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N_NUMS, tile_h, tile_w), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N_GMETA, tile_h, tile_w), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
         ),
         interpret=use_interpret(),
     )(counts.reshape(n_tiles, 1), rows, z_base, last_id)
-    return _peel_outputs(best, nums, metas)
+    return _peel_outputs_gathered(best, nums, metas)
 
 
 def _peel_stream_loop(counts_ref, bins_ref, rows_hbm, scratch_ref, sem_ref,
@@ -1667,7 +1753,7 @@ def _peel_stream_loop(counts_ref, bins_ref, rows_hbm, scratch_ref, sem_ref,
     submission-order peeling, one layer per call (the reference submits
     transparent draws in list order, vk_engine.cpp:1459-1465).
 
-    init_state/return: (best id, nums x6, metas x13) tile planes with
+    init_state/return: (best id, nums x4, metas x12) tile planes with
     nums PRE-divide, so slabs compose (rasterize_peel_slabs).
     """
     i = pl.program_id(0)
@@ -1711,13 +1797,13 @@ def _peel_stream_loop(counts_ref, bins_ref, rows_hbm, scratch_ref, sem_ref,
                 r = lambda col, _t=t: scratch_ref[base + _t // ROW_TRIS, (_t % ROW_TRIS) * _HALF + col]  # noqa: E731
                 take = takes[t]
                 new_nums = []
-                for a in range(N_ATTR):
+                for a in range(N_NUMS):
                     num = r(13 + a) * X + r(19 + a) * Y + r(25 + a)
                     new_nums.append(jnp.where(take, num, nums[a]))
                 nums = tuple(new_nums)
                 metas = tuple(
-                    jnp.where(take, r(31 + m), metas[m])
-                    for m in range(N_META))
+                    jnp.where(take, r(col), metas[m])
+                    for m, col in enumerate(SMETA_COLS))
             return nums, metas
 
         nums, metas = jax.lax.cond(
@@ -1729,28 +1815,35 @@ def _peel_stream_loop(counts_ref, bins_ref, rows_hbm, scratch_ref, sem_ref,
                            sem_ref, tile, eval_entry, init_state)
 
 
-def _peel_outputs(best, nums, metas):
-    """Shared peel perspective-divide epilogue (see _state_to_outputs)."""
-    hp, wp = best.shape
-    X, Y = _pixel_planes(hp, wp)
-    den = metas[N_META - 3] * X + metas[N_META - 2] * Y + metas[N_META - 1]
-    inv = jnp.where(den != 0.0, 1.0 / den, 0.0)
-    return best, nums * inv[None], metas, inv
+def _peel_outputs_gathered(best, nums, metas):
+    """Peel epilogue for the GATHERED kernel's state (N_GMETA layout)."""
+    attrs, metas_pub, inv = _reconstruct_outputs(
+        nums, tuple(metas[k] for k in range(6)),
+        tuple(metas[6 + k] for k in range(9)))
+    return best, attrs, metas_pub, inv
+
+
+def _peel_outputs_stream(best, nums, metas):
+    """Peel epilogue for the STREAM kernels' state (N_SMETA layout)."""
+    tex6 = _unpack2(metas[0]) + _unpack2(metas[1]) + _unpack2(metas[2])
+    attrs, metas_pub, inv = _reconstruct_outputs(
+        nums, tex6, tuple(metas[3 + k] for k in range(9)))
+    return best, attrs, metas_pub, inv
 
 
 def _peel_state_shapes(hp: int, wp: int):
     return (
         jax.ShapeDtypeStruct((hp, wp), jnp.int32),       # best (smallest id)
-        jax.ShapeDtypeStruct((N_ATTR, hp, wp), jnp.float32),  # attr nums
-        jax.ShapeDtypeStruct((N_META, hp, wp), jnp.float32),  # meta
+        jax.ShapeDtypeStruct((N_NUMS, hp, wp), jnp.float32),  # attr nums
+        jax.ShapeDtypeStruct((N_SMETA, hp, wp), jnp.float32),  # meta
     )
 
 
 def _peel_state_specs(tile_h: int, tile_w: int):
     return (
         pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-        pl.BlockSpec((N_ATTR, tile_h, tile_w), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
-        pl.BlockSpec((N_META, tile_h, tile_w), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((N_NUMS, tile_h, tile_w), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((N_SMETA, tile_h, tile_w), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
     )
 
 
@@ -1758,9 +1851,9 @@ def _peel_write_state(refs, state):
     best_ref, nums_ref, metas_ref = refs
     best1, nums1, metas1 = state
     best_ref[:, :] = best1
-    for a in range(N_ATTR):
+    for a in range(N_NUMS):
         nums_ref[a, :, :] = nums1[a]
-    for m in range(N_META):
+    for m in range(N_SMETA):
         metas_ref[m, :, :] = metas1[m]
 
 
@@ -1772,9 +1865,9 @@ def _peel_chunks_fresh_kernel(counts_ref, bins_ref, rows_hbm, zbase_ref,
     init = (
         jnp.full((tile_h, tile_w), ID_INF, jnp.int32),
         tuple(jnp.zeros((tile_h, tile_w), jnp.float32)
-              for _ in range(N_ATTR)),
+              for _ in range(N_NUMS)),
         tuple(jnp.zeros((tile_h, tile_w), jnp.float32)
-              for _ in range(N_META)),
+              for _ in range(N_SMETA)),
     )
     state = _peel_stream_loop(counts_ref, bins_ref, rows_hbm, scratch_ref,
                               sem_ref, zbase_ref[:, :], last_ref[:, :], init,
@@ -1790,8 +1883,8 @@ def _peel_chunks_state_kernel(counts_ref, bins_ref, rows_hbm, zbase_ref,
     """Continuation peel slab: carries the previous slab's peel state."""
     init = (
         best_in[:, :],
-        tuple(nums_in[a, :, :] for a in range(N_ATTR)),
-        tuple(metas_in[m, :, :] for m in range(N_META)),
+        tuple(nums_in[a, :, :] for a in range(N_NUMS)),
+        tuple(metas_in[m, :, :] for m in range(N_SMETA)),
     )
     state = _peel_stream_loop(counts_ref, bins_ref, rows_hbm, scratch_ref,
                               sem_ref, zbase_ref[:, :], last_ref[:, :], init,
@@ -1837,7 +1930,7 @@ def _peel_slab_call(ccounts, bins3, rows64, z_base, last_id, state, *,
         functools.partial(_peel_chunks_state_kernel, tiles_x=tiles_x,
                           tile_h=tile_h, tile_w=tile_w),
         in_specs=base_specs + list(_peel_state_specs(tile_h, tile_w)),
-        # carry the 20 peel-state planes in place
+        # carry the 17 peel-state planes in place
         input_output_aliases={5: 0, 6: 1, 7: 2},
         **common,
     )(*args, *state)
@@ -1872,5 +1965,5 @@ def rasterize_peel_slabs(fat_rows, bins_full, counts, z_base, last_id, *,
                                        None, **kw),
         lambda sc, b3, st: _peel_slab_call(sc, b3, rows64, z_base, last_id,
                                            st, **kw))
-    return _peel_outputs(best, nums, metas)
+    return _peel_outputs_stream(best, nums, metas)
 

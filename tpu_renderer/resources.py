@@ -187,6 +187,16 @@ def build_atlas(images: List[np.ndarray], mipmapped=None) -> TextureAtlas:
         shelf_h = max(shelf_h, h)
     ah = ((shelf_y + shelf_h + 7) // 8) * 8
 
+    # the fused raster's stream rows bit-pack (base_x, base_y) and (w0, h0)
+    # as 14-bit/16-bit pairs (kernels/raster._prep_stream_rows); enforce the
+    # envelope here where the dims are concrete. 16384x65536 texels is 4 GB
+    # of u32 quads — far beyond HBM before this assert could fire in anger.
+    assert aw <= 16384 and ah <= 65535, (
+        f"texture atlas {aw}x{ah} exceeds the stream-row packing envelope "
+        "(width <= 16384, height <= 65535)")
+    assert int(meta[:, 2].max()) <= 16383, (
+        "texture width > 16383 exceeds the 14-bit stream-row packing field")
+
     # bake levels straight into the atlas — the native path fuses RGBA8
     # packing + quad prebake + placement in one C++ pass per level
     from tpu_renderer.utils import native
