@@ -157,27 +157,58 @@ def pad_for_raster(packed, aabb, valid):
 
 
 def spatial_sort(aabb, valid, *payloads):
-    """Reorder triangles by screen-space (8-row band, 32-px column) so CHUNK
-    groups get TIGHT chunk AABBs.
+    """Reorder triangles along a Morton (Z-order) curve over 8-px screen
+    cells so CHUNK groups get TIGHT, roughly-square chunk AABBs.
 
     Submission order groups triangles by mesh (a cube = 12 tris), so CHUNK=8
     chunks straddle primitives and their AABBs span whole tiles — measured
-    9+ tile hits per chunk on the demo scene. Sorting by
-    (floor(ymin)>>3, floor(xmin)>>5) packs each chunk into a ~8-px-tall
-    screen band and the chunk-bin entry count collapses (52.5k -> 34.7k on
-    the demo scene; raster 35.1 -> 24.0 ms, sort itself ~1.6 ms).
+    9+ tile hits per chunk on the demo scene. A band-major key
+    (floor(ymin)>>3, floor(xmin)>>5) was the round-3 first cut (bin entries
+    -35%, raster 35.1 -> 24.0 ms demo); Morton-interleaving the 8-px cell
+    coordinates beats it again because chunks become 2D-local blobs instead
+    of 180-px-wide bands: entries drop another ~13% and live (truly
+    tile-overlapping) triangles per bin entry rise 54% -> 62/66%, raster
+    11.3 -> 10.0 ms demo / 24.9 -> 21.3 stress (isolated full pass,
+    tools/ab_kernel.py; RASTER_SORT=band restores the old key for A/B).
     Safe for depth-tested opaque geometry: the
     result is order-independent except exact z-ties (the GPU's raster has
     no submission-order guarantee between overlapping equal-z fragments
-    either). The sort is stable, so same-band triangles keep submission
+    either). The sort is stable, so same-cell triangles keep submission
     order. Invalid triangles sort to the end (their chunks bin nowhere).
 
     Returns (aabb, valid, *payloads) all reordered by the same permutation.
     """
     y0 = jnp.floor(aabb[:, 1]).astype(jnp.int32)
     x0 = jnp.floor(aabb[:, 0]).astype(jnp.int32)
-    key = (jnp.clip(y0 >> 3, 0, (1 << 20) - 1) * 1024
-           + jnp.clip(x0 >> 5, 0, 1023))
+    _mode = _os_mod.environ.get("RASTER_SORT", "morton")
+    if _mode.startswith("morton"):
+        shift = int(_mode[6:] or 3)  # morton / morton2 / morton4 ...
+        def _spread(v):  # 12 -> 24 bit spread (x|y cells up to 4096)
+            v = (v | (v << 8)) & 0x00F00F
+            v = (v | (v << 4)) & 0x0C30C3
+            return (v | (v << 2)) & 0x249249
+        cx = jnp.clip(x0 >> shift, 0, 4095)
+        cy = jnp.clip(y0 >> shift, 0, 4095)
+        key = _spread(cx) | (_spread(cy) << 1)
+    elif _mode == "hilbert":
+        n = 12  # 4096 cells
+        x = jnp.clip(x0 >> 3, 0, 4095)
+        y = jnp.clip(y0 >> 3, 0, 4095)
+        key = jnp.zeros_like(x)
+        for i in range(n - 1, -1, -1):
+            s = jnp.int32(1 << i)
+            rx = ((x & s) > 0).astype(jnp.int32)
+            ry = ((y & s) > 0).astype(jnp.int32)
+            key = key + s * s * ((3 * rx) ^ ry)
+            # rotate quadrant
+            swap = ry == 0
+            fx = jnp.where(swap & (rx == 1), s - 1 - x, x)
+            fy = jnp.where(swap & (rx == 1), s - 1 - y, y)
+            x = jnp.where(swap, fy, fx)
+            y = jnp.where(swap, fx, fy)
+    else:  # band-major round-3 key, kept for A/B comparison
+        key = (jnp.clip(y0 >> 3, 0, (1 << 20) - 1) * 1024
+               + jnp.clip(x0 >> 5, 0, 1023))
     key = jnp.where(valid, key, jnp.int32(2 ** 31 - 1))
     order = jnp.argsort(key)  # stable: same-band keeps submission order
     return (aabb[order], valid[order]) + tuple(p[order] for p in payloads)
