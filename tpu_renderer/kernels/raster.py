@@ -157,19 +157,21 @@ def pad_for_raster(packed, aabb, valid):
 
 
 def spatial_sort(aabb, valid, *payloads):
-    """Reorder triangles along a Morton (Z-order) curve over 8-px screen
-    cells so CHUNK groups get TIGHT, roughly-square chunk AABBs.
+    """Reorder triangles along a Hilbert curve over 8-px screen cells so
+    CHUNK groups get TIGHT, roughly-square chunk AABBs.
 
     Submission order groups triangles by mesh (a cube = 12 tris), so CHUNK=8
     chunks straddle primitives and their AABBs span whole tiles — measured
     9+ tile hits per chunk on the demo scene. A band-major key
     (floor(ymin)>>3, floor(xmin)>>5) was the round-3 first cut (bin entries
-    -35%, raster 35.1 -> 24.0 ms demo); Morton-interleaving the 8-px cell
-    coordinates beats it again because chunks become 2D-local blobs instead
-    of 180-px-wide bands: entries drop another ~13% and live (truly
-    tile-overlapping) triangles per bin entry rise 54% -> 62/66%, raster
-    11.3 -> 10.0 ms demo / 24.9 -> 21.3 stress (isolated full pass,
-    tools/ab_kernel.py; RASTER_SORT=band restores the old key for A/B).
+    -35%, raster 35.1 -> 24.0 ms demo); space-filling curves beat it again
+    because chunks become 2D-local blobs instead of 180-px-wide bands:
+    entries drop another ~13% and live (truly tile-overlapping) triangles
+    per bin entry rise 54% -> 62/66%. Isolated full pass (tools/
+    ab_kernel.py, demo/stress ms): band 11.31/24.92, morton 10.02/21.33,
+    **hilbert 9.85/20.97** (no diagonal jumps — the best and the default),
+    morton2 (4-px cells) 11.03/30.69. RASTER_SORT=band|morton|hilbert
+    selects for A/B; the key build itself is ~0.1 ms of XLA elementwise.
     Safe for depth-tested opaque geometry: the
     result is order-independent except exact z-ties (the GPU's raster has
     no submission-order guarantee between overlapping equal-z fragments
@@ -180,7 +182,7 @@ def spatial_sort(aabb, valid, *payloads):
     """
     y0 = jnp.floor(aabb[:, 1]).astype(jnp.int32)
     x0 = jnp.floor(aabb[:, 0]).astype(jnp.int32)
-    _mode = _os_mod.environ.get("RASTER_SORT", "morton")
+    _mode = _os_mod.environ.get("RASTER_SORT", "hilbert")
     if _mode.startswith("morton"):
         shift = int(_mode[6:] or 3)  # morton / morton2 / morton4 ...
         def _spread(v):  # 12 -> 24 bit spread (x|y cells up to 4096)
