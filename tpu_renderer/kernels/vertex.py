@@ -75,6 +75,17 @@ class CornerData(NamedTuple):
     uv: jax.Array     # (T, 3, 2) f32
     mat: jax.Array    # (T,) i32 — material id (padding rows -> 0)
     meta6: jax.Array  # (T, 6) f32 — mat_meta[:, :6] texture-binding row
+    # T-MINOR twins of the static fields, laid out (corner, comp, T) /
+    # (col, T) so per-frame setup math runs on dense lane-major planes.
+    # A (T, small) f32 array pads its minor dim to 128 lanes on TPU — a
+    # 32x storage/bandwidth blowup on every elementwise op; the planar
+    # twins make triangle_setup_rows' whole dataflow dense (docs/PERF.md
+    # "lane padding"). Built once per scene alongside the originals.
+    posT: jax.Array   # (3, 3, T) f32
+    nrmT: jax.Array   # (3, 3, T) f32
+    colT: jax.Array   # (3, 3, T) f32
+    uvT: jax.Array    # (3, 2, T) f32
+    meta6T: jax.Array  # (6, T) f32
 
 
 def expand_corners(positions, normals, colors, uvs, tri_vidx, tri_draw,
@@ -102,7 +113,12 @@ def expand_corners(positions, normals, colors, uvs, tri_vidx, tri_draw,
     else:
         mat_meta = jnp.asarray(mat_meta)
         meta6 = mat_meta[jnp.clip(mat, 0, mat_meta.shape[0] - 1), :6]
-    return CornerData(pos=pos, nrm=nrm, col=col, uv=uv, mat=mat, meta6=meta6)
+    return CornerData(pos=pos, nrm=nrm, col=col, uv=uv, mat=mat, meta6=meta6,
+                      posT=jnp.transpose(pos, (1, 2, 0)),
+                      nrmT=jnp.transpose(nrm, (1, 2, 0)),
+                      colT=jnp.transpose(col, (1, 2, 0)),
+                      uvT=jnp.transpose(uv, (1, 2, 0)),
+                      meta6T=meta6.T)
 
 
 def draw_visibility(viewproj, draw_model, bounds_origin, bounds_extents):
@@ -271,3 +287,138 @@ def triangle_setup_c(
     packed = packed.at[:, COL_MAT].set(corners.mat.astype(f32))
 
     return TriangleSetup(packed=packed, aabb=aabb, attrs=attrs, valid=good)
+
+
+def triangle_setup_rows(
+    corners: CornerData,
+    tri_draw,       # (T,) i32
+    tri_valid,      # (T,) bool
+    draw_model,     # (D, 4, 4) f32
+    draw_visible,   # (D,) bool
+    viewproj,       # (4, 4) f32
+    width: int,
+    height: int,
+    sun_dir=None,
+):
+    """T-minor fast path: triangle_setup_c + shade.build_shade_rows fused,
+    computed on dense (T,)-lane planes, returning (rows48, aabb, valid).
+
+    Bit-identical to ``shade.build_shade_rows(triangle_setup_c(...))`` (a
+    parity test pins this) but ~2x cheaper: every (T, small) intermediate of
+    the reference composition pads its minor dim to 128 lanes on TPU (a 32x
+    bandwidth tax per op — the same "lane padding" lesson the shade stage
+    learned in round 2, docs/PERF.md), while this path does the 5 per-frame
+    row gathers once, relayouts them T-minor ONCE, runs all plane math on
+    dense (T,) planes from the pre-transposed CornerData twins, and emits
+    the (T, 48) fat-row block with one final stack+transpose.
+
+    Reference analog: mesh.vert + the fixed-function primitive setup
+    (vk_engine.cpp:1453 vkCmdDrawIndexed feeds both from one vertex stream).
+    """
+    f32 = jnp.float32
+    W = f32(width)
+    H = f32(height)
+    T = tri_draw.shape[0]
+
+    mvp = jnp.einsum("ij,djk->dik", viewproj, draw_model)            # (D,4,4)
+    sd = jnp.zeros(3, f32) if sun_dir is None \
+        else jnp.asarray(sun_dir, f32)[:3]
+    ls = jnp.einsum("dji,j->di", draw_model[:, :3, :3], sd)          # (D,3)
+    lsvis = jnp.concatenate(
+        [ls, draw_visible.astype(f32)[:, None]], axis=1)             # (D,4)
+
+    # the same 5 column-wise 16-byte-row gathers as triangle_setup_c, then
+    # ONE (T, 20) -> (20, T) relayout puts everything T-minor
+    mcols = [mvp[:, :, k][tri_draw] for k in range(4)]               # 4x(T,4)
+    g = jnp.concatenate(mcols + [lsvis[tri_draw]], axis=1).T         # (20,T)
+    m = [[g[j * 4 + c] for c in range(4)] for j in range(4)]         # m[j][c]
+    lv = [g[16], g[17], g[18], g[19]]
+
+    pos = corners.posT                                               # (3,3,T)
+    # clip_c = x*M[:,0] + y*M[:,1] + z*M[:,2] + M[:,3] — same add order as
+    # triangle_setup_c's broadcast chain
+    clip = [[pos[i][0] * m[0][c] + pos[i][1] * m[1][c]
+             + pos[i][2] * m[2][c] + m[3][c]
+             for c in range(4)] for i in range(3)]                   # [i][c]
+    w = [clip[i][3] for i in range(3)]
+    zc = [clip[i][2] for i in range(3)]
+    xh = [(clip[i][0] + w[i]) * (f32(0.5) * W) for i in range(3)]
+    yh = [(clip[i][1] + w[i]) * (f32(0.5) * H) for i in range(3)]
+    p = [(xh[i], yh[i], w[i]) for i in range(3)]
+
+    def cross(u, v):
+        return (u[1] * v[2] - u[2] * v[1],
+                u[2] * v[0] - u[0] * v[2],
+                u[0] * v[1] - u[1] * v[0])
+
+    e0 = cross(p[1], p[2])
+    e1 = cross(p[2], p[0])
+    e2 = cross(p[0], p[1])
+    det = e0[0] * p[0][0] + e0[1] * p[0][1] + e0[2] * p[0][2]
+
+    good = tri_valid & (tri_draw >= 0) & (lv[3] > 0) \
+        & (det != 0.0) & jnp.isfinite(det)
+    s = jnp.where(det < 0, f32(-1.0), f32(1.0))
+    inv_det = jnp.where(det == 0.0, f32(0.0), f32(1.0) / jnp.abs(det))
+    dead = (f32(0.0), f32(0.0), f32(-1.0))
+    # cplane[e][c]: edge-plane coefficient c of edge e, dead rows forced to
+    # the never-covered (0, 0, -1) row exactly as triangle_setup_c
+    cp = [[jnp.where(good, (e[c] * s) * inv_det, dead[c])
+           for c in range(3)] for e in (e0, e1, e2)]
+    # depth plane z(X,Y): einsum("tec,te->tc", cplane, zc)
+    zplane = [cp[0][c] * zc[0] + cp[1][c] * zc[1] + cp[2][c] * zc[2]
+              for c in range(3)]
+
+    # screen AABB (same guards as triangle_setup_c)
+    w_ok = (w[0] > f32(1e-6)) & (w[1] > f32(1e-6)) & (w[2] > f32(1e-6))
+    sw = [jnp.where(w[i] == 0.0, f32(1e-20), w[i]) for i in range(3)]
+    sx = [xh[i] / sw[i] for i in range(3)]
+    sy = [yh[i] / sw[i] for i in range(3)]
+    zero = jnp.zeros((T,), f32)
+    xmin = jnp.where(w_ok, jnp.minimum(jnp.minimum(sx[0], sx[1]), sx[2]), zero)
+    ymin = jnp.where(w_ok, jnp.minimum(jnp.minimum(sy[0], sy[1]), sy[2]), zero)
+    xmax = jnp.where(w_ok, jnp.maximum(jnp.maximum(sx[0], sx[1]), sx[2]), W)
+    ymax = jnp.where(w_ok, jnp.maximum(jnp.maximum(sy[0], sy[1]), sy[2]), H)
+    empty = (f32(-1.0), f32(-1.0), f32(-2.0), f32(-2.0))
+    ab = [jnp.where(good, jnp.clip(v, 0.0, hi), e)
+          for v, hi, e in ((xmin, W, empty[0]), (ymin, H, empty[1]),
+                           (xmax, W, empty[2]), (ymax, H, empty[3]))]
+
+    # per-corner attributes [light_num, r, g, b, u, v] (see shade.C_ATTR);
+    # light = dot(corner normal, mesh-space sun) — einsum("tci,ti->tc")
+    nrm, col, uv = corners.nrmT, corners.colT, corners.uvT
+    attrs = [[nrm[i][0] * lv[0] + nrm[i][1] * lv[1] + nrm[i][2] * lv[2],
+              col[i][0], col[i][1], col[i][2], uv[i][0], uv[i][1]]
+             for i in range(3)]                                      # [i][a]
+
+    # numerator planes: pa/pb/pc = einsum("tc,tca->ta", A/B/C, attrs) with
+    # A/B/C = the post-where edge-plane coefficient columns
+    A = [cp[e][0] for e in range(3)]
+    B = [cp[e][1] for e in range(3)]
+    Cc = [cp[e][2] for e in range(3)]
+    pa = [A[0] * attrs[0][a] + A[1] * attrs[1][a] + A[2] * attrs[2][a]
+          for a in range(6)]
+    pb = [B[0] * attrs[0][a] + B[1] * attrs[1][a] + B[2] * attrs[2][a]
+          for a in range(6)]
+    pc = [Cc[0] * attrs[0][a] + Cc[1] * attrs[1][a] + Cc[2] * attrs[2][a]
+          for a in range(6)]
+    sumA = A[0] + A[1] + A[2]
+    sumB = B[0] + B[1] + B[2]
+    den_c = Cc[0] + Cc[1] + Cc[2]
+    grad = [pa[4], pb[4], pa[5], pb[5], sumA, sumB]
+    meta6 = corners.meta6T
+
+    # the 48-column fat-row layout of shade.build_shade_rows
+    planes = (
+        [cp[e][c] for e in range(3) for c in range(3)]       # 0-8 edges
+        + zplane                                             # 9-11 depth
+        + [corners.mat.astype(f32)]                          # 12 material
+        + pa + pb + pc                                       # 13-30 attrs
+        + [meta6[k] for k in range(6)]                       # 31-36 tex meta
+        + grad                                               # 37-42 uv grads
+        + [den_c]                                            # 43 den const
+        + ab                                                 # 44-47 aabb
+    )
+    rows = jnp.stack(planes, axis=0).T                       # (T, 48)
+    aabb = jnp.stack(ab, axis=0).T                           # (T, 4)
+    return rows, aabb, good

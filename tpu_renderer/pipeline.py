@@ -178,20 +178,31 @@ def render_frame(buffers: SceneBuffers, params: FrameParams, *,
     z = jnp.full((hp, wp), raster.DEPTH_CLEAR, jnp.float32)
 
     if to > 0:
-        setup = vertex.triangle_setup_c(
-            buffers.opaque_corners, buffers.opaque_tri_draw,
-            buffers.opaque_tri_valid, buffers.draw_model, vis, viewproj,
-            width, height, sun_dir=params.sun_dir[:3],
-        )
-        rows = shade.build_shade_rows(setup.packed, setup.attrs,
-                                      aabb=setup.aabb,
-                                      meta6=buffers.opaque_corners.meta6)
+        if fused:
+            # T-minor fused setup+rows (vertex.triangle_setup_rows): same
+            # math as triangle_setup_c + build_shade_rows, ~2x cheaper
+            # (lane-padding tax avoided; parity-test pinned)
+            rows, o_aabb, o_valid = vertex.triangle_setup_rows(
+                buffers.opaque_corners, buffers.opaque_tri_draw,
+                buffers.opaque_tri_valid, buffers.draw_model, vis, viewproj,
+                width, height, sun_dir=params.sun_dir[:3],
+            )
+        else:
+            setup = vertex.triangle_setup_c(
+                buffers.opaque_corners, buffers.opaque_tri_draw,
+                buffers.opaque_tri_valid, buffers.draw_model, vis, viewproj,
+                width, height, sun_dir=params.sun_dir[:3],
+            )
+            rows = shade.build_shade_rows(setup.packed, setup.attrs,
+                                          aabb=setup.aabb,
+                                          meta6=buffers.opaque_corners.meta6)
+            o_aabb, o_valid = setup.aabb, setup.valid
         if fused:
             # screen-space spatial sort before chunking: tight chunk AABBs
             # -> ~35% fewer chunk-bin entries to DMA + raster (see
             # raster.spatial_sort)
             aabb_s, valid_s, rows = raster.spatial_sort(
-                setup.aabb, setup.valid, rows)
+                o_aabb, o_valid, rows)
             caabb, cvalid = raster.chunk_aabbs(aabb_s, valid_s)
             # fused chunk-streaming raster over UNCAPPED dense bins, walked
             # in slabs: attributes interpolate inside the kernel (no
@@ -232,20 +243,27 @@ def render_frame(buffers: SceneBuffers, params: FrameParams, *,
                 trilinear=trilinear))
         aux["bin_overflow"] = overflow_c
         aux["bin_overflow_tris"] = overflow_t
-        aux["opaque_triangles"] = jnp.sum(
-            (setup.valid).astype(jnp.int32))
+        aux["opaque_triangles"] = jnp.sum(o_valid.astype(jnp.int32))
 
     # --- transparent pass: additive, depth-test-only, via depth peeling ------
     if tt > 0:
-        setup_t = vertex.triangle_setup_c(
-            buffers.transp_corners, buffers.transp_tri_draw,
-            buffers.transp_tri_valid, buffers.draw_model, all_vis, viewproj,
-            width, height, sun_dir=params.sun_dir[:3],
-        )
-        caabb_t, cvalid_t = raster.chunk_aabbs(setup_t.aabb, setup_t.valid)
-        rows_t = shade.build_shade_rows(setup_t.packed, setup_t.attrs,
-                                        aabb=setup_t.aabb,
-                                        meta6=buffers.transp_corners.meta6)
+        if fused:
+            rows_t, t_aabb, t_valid = vertex.triangle_setup_rows(
+                buffers.transp_corners, buffers.transp_tri_draw,
+                buffers.transp_tri_valid, buffers.draw_model, all_vis,
+                viewproj, width, height, sun_dir=params.sun_dir[:3],
+            )
+        else:
+            setup_t = vertex.triangle_setup_c(
+                buffers.transp_corners, buffers.transp_tri_draw,
+                buffers.transp_tri_valid, buffers.draw_model, all_vis,
+                viewproj, width, height, sun_dir=params.sun_dir[:3],
+            )
+            rows_t = shade.build_shade_rows(setup_t.packed, setup_t.attrs,
+                                            aabb=setup_t.aabb,
+                                            meta6=buffers.transp_corners.meta6)
+            t_aabb, t_valid = setup_t.aabb, setup_t.valid
+        caabb_t, cvalid_t = raster.chunk_aabbs(t_aabb, t_valid)
 
         if fused and not transp_textured:
             # mesh.frag writes alpha = 1.0 always (shaders/mesh.frag:18), so
@@ -258,7 +276,7 @@ def render_frame(buffers: SceneBuffers, params: FrameParams, *,
             # sort is semantically free here; it keeps CHUNK-triangle AABB
             # unions tight (unsorted submission order interleaves meshes)
             aabb_ta, valid_ta, rows_ta = raster.spatial_sort(
-                setup_t.aabb, setup_t.valid, rows_t)
+                t_aabb, t_valid, rows_t)
             caabb_ta, cvalid_ta = raster.chunk_aabbs(aabb_ta, valid_ta)
             cbins_tf, ccounts_tf = raster.bin_triangles_full(
                 caabb_ta, cvalid_ta, tiles_x=tiles_x, tiles_y=tiles_y,
@@ -303,7 +321,7 @@ def render_frame(buffers: SceneBuffers, params: FrameParams, *,
                     overflow_tt = jnp.int32(0)
                 else:
                     bins_t, counts_t, overflow_tt = raster.refine_bins(
-                        cbins_t, setup_t.aabb, tiles_x=tiles_x,
+                        cbins_t, t_aabb, tiles_x=tiles_x,
                         tiles_y=tiles_y, tile_w=tile_w, tile_h=tile_h,
                         tri_cap=tri_cap)
 
