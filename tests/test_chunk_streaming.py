@@ -100,12 +100,12 @@ def test_slab_raster_matches_single_call():
     """Slabbed raster (tiny slab width => several carried-state slabs) must
     equal the one-shot chunk raster bit-for-bit."""
     s, rows, cbins, ccounts, bins_full, counts_full = _full_setup(
-        _multi_quad_scene(40))
+        _multi_quad_scene(80))
     z1, t1, a1, m1, i1 = raster.rasterize_fused_chunks(rows, cbins, ccounts,
                                                        **KW)
-    assert counts_full.max() > 2  # the tiny slab width below must split
+    assert counts_full.max() > 8  # the tiny slab width below must split
     z2, t2, a2, m2, i2 = raster.rasterize_fused_slabs(
-        rows, bins_full, counts_full, slab_cap=2, **KW)
+        rows, bins_full, counts_full, slab_cap=8, **KW)
     np.testing.assert_array_equal(np.asarray(z1), np.asarray(z2))
     np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
     np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
@@ -147,14 +147,14 @@ def test_spatial_sorted_raster_matches_unsorted():
 
 def test_slab_accum_matches_single_call():
     s, rows, cbins, ccounts, bins_full, counts_full = _full_setup(
-        _multi_quad_scene(40))
-    assert counts_full.max() > 2
+        _multi_quad_scene(80))
+    assert counts_full.max() > 8
     light = jnp.asarray([0.2, 0.8, 0.5, 1.0, 0.1, 0.1, 0.1, 0.0], jnp.float32)
     z = jnp.full((TY * 32, TX * 128), raster.DEPTH_CLEAR, jnp.float32)
     a1, c1 = raster.rasterize_accum_chunks(rows, cbins, ccounts, z, light,
                                            **KW)
     a2, c2 = raster.rasterize_accum_slabs(rows, bins_full, counts_full, z,
-                                          light, slab_cap=2, **KW)
+                                          light, slab_cap=8, **KW)
     np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
     # slab-partial sums associate differently than one in-kernel sum; the
     # difference is FP noise far below the unorm8 quantization step (1/255)
@@ -165,8 +165,8 @@ def test_slab_peel_matches_gathered_reference():
     """Slab peel (tiny slabs) must equal the gathered-row peel oracle across
     SEVERAL peel iterations (the `last` plane feeds back)."""
     s, rows, cbins, ccounts, bins_full, counts_full = _full_setup(
-        _multi_quad_scene(40))
-    assert counts_full.max() > 2
+        _multi_quad_scene(80))
+    assert counts_full.max() > 8
     bins_t, counts_t = raster.expand_bins(cbins, ccounts)
     hp, wp = TY * 32, TX * 128
     z = jnp.full((hp, wp), raster.DEPTH_CLEAR, jnp.float32)
@@ -177,7 +177,7 @@ def test_slab_peel_matches_gathered_reference():
                                                      z, last1, **KW)
         l2, a2, m2, i2 = raster.rasterize_peel_slabs(rows, bins_full,
                                                      counts_full, z, last2,
-                                                     slab_cap=2, **KW)
+                                                     slab_cap=8, **KW)
         np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
         np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
         np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))

@@ -878,7 +878,9 @@ def _pack_bins_cols(bins):
     return bins.reshape(n_tiles, BIN_LANES, G).transpose(0, 2, 1)
 
 
-NBUF = 4  # chunk-stream scratch slots: 3 copies in flight hide the HBM
+NBUF = int(_os_mod.environ.get("RASTER_NBUF", "4"))
+assert NBUF & (NBUF - 1) == 0  # power of 2: slot index is a bitwise AND
+# chunk-stream scratch slots: NBUF - 1 copies in flight hide the HBM
 #           latency that a 2-slot double buffer only covers while a chunk's
 #           compute exceeds the copy latency (it barely does at CHUNK=8)
 
@@ -939,7 +941,9 @@ def _walk_bins_cols(counts_ref, bins_ref, rows_hbm, scratch_ref, sem_ref,
         def body(g, carry, l=l):
             e = l * G + g
             pf = g + NBUF - 1          # prefetch target, local to column l
-            slot_t = jax.lax.rem(e + NBUF - 1, NBUF)
+            # bitwise AND, not lax.rem: the scalar integer divide sits on
+            # the walk's per-entry critical path
+            slot_t = (e + NBUF - 1) & (NBUF - 1)
 
             @pl.when(gate((pf < G) & (l * G + pf < n), pf, l))
             def _():
@@ -951,7 +955,7 @@ def _walk_bins_cols(counts_ref, bins_ref, rows_hbm, scratch_ref, sem_ref,
                 def _():
                     copy(pf - G, l + 1, slot_t).start()
 
-            slot = jax.lax.rem(e, NBUF)
+            slot = e & (NBUF - 1)
             if pred is None:
                 copy(g, l, slot).wait()
                 return eval_entry(bins_ref[0, g, l], slot * stride, carry)
