@@ -13,7 +13,11 @@ from tpu_renderer.kernels import raster, shade, vertex
 from tpu_renderer.scene import flatten_scene
 
 I4 = jnp.eye(4, dtype=jnp.float32)
-TX, TY = 2, 2
+# CHUNK_TEST_TILES shrinks the tile grid for the RASTER_CHUNK=32 subprocess
+# tier (tests/test_chunk32.py): interpret-mode execution scales with
+# n_tiles x entries x CHUNK, and a single tile still walks every code path.
+import os as _os
+TX, TY = (int(x) for x in _os.environ.get("CHUNK_TEST_TILES", "2,2").split(","))
 KW = dict(tiles_x=TX, tiles_y=TY, tile_w=128, tile_h=32)
 
 
@@ -100,7 +104,7 @@ def test_slab_raster_matches_single_call():
     """Slabbed raster (tiny slab width => several carried-state slabs) must
     equal the one-shot chunk raster bit-for-bit."""
     s, rows, cbins, ccounts, bins_full, counts_full = _full_setup(
-        _multi_quad_scene(80))
+        _multi_quad_scene(5 * raster.CHUNK))
     z1, t1, a1, m1, i1 = raster.rasterize_fused_chunks(rows, cbins, ccounts,
                                                        **KW)
     assert counts_full.max() > 8  # the tiny slab width below must split
@@ -119,7 +123,7 @@ def test_spatial_sorted_raster_matches_unsorted():
     z-ties between distinct triangles (true of this scene) the depth test
     picks the same winner regardless of walk order. tid maps back through
     the permutation."""
-    scene = _multi_quad_scene(40)
+    scene = _multi_quad_scene(5 * raster.CHUNK)
     s, rows, cbins, ccounts = _setup(scene)
     caabb, cvalid = raster.chunk_aabbs(s.aabb, s.valid)
     bins_full, counts_full = raster.bin_triangles_full(caabb, cvalid, **KW)
@@ -147,7 +151,7 @@ def test_spatial_sorted_raster_matches_unsorted():
 
 def test_slab_accum_matches_single_call():
     s, rows, cbins, ccounts, bins_full, counts_full = _full_setup(
-        _multi_quad_scene(80))
+        _multi_quad_scene(5 * raster.CHUNK))
     assert counts_full.max() > 8
     light = jnp.asarray([0.2, 0.8, 0.5, 1.0, 0.1, 0.1, 0.1, 0.0], jnp.float32)
     z = jnp.full((TY * 32, TX * 128), raster.DEPTH_CLEAR, jnp.float32)
@@ -165,7 +169,7 @@ def test_slab_peel_matches_gathered_reference():
     """Slab peel (tiny slabs) must equal the gathered-row peel oracle across
     SEVERAL peel iterations (the `last` plane feeds back)."""
     s, rows, cbins, ccounts, bins_full, counts_full = _full_setup(
-        _multi_quad_scene(80))
+        _multi_quad_scene(5 * raster.CHUNK))
     assert counts_full.max() > 8
     bins_t, counts_t = raster.expand_bins(cbins, ccounts)
     hp, wp = TY * 32, TX * 128

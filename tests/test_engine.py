@@ -287,3 +287,33 @@ def test_multichip_product_path(tmp_path):
     assert diff.max() <= 1
     # stats fall back to the static counts on the sharded path
     assert multi.stats.triangle_count > 0
+
+
+def test_dense_bin_guard_picks_bounded_path(tmp_path):
+    """Dense-bin memory guard: scenes past config.dense_bin_max_chunks
+    chunks must auto-select the capped deferred path — the fused path's
+    uncapped bins are O(n_tiles x n_chunks) (docs/PERF.md envelope).
+
+    The decision is host-side arithmetic over triangle counts, so a real
+    2M-triangle flatten isn't needed to pin it: 2M tris / CHUNK chunks
+    exceeds the default 32768-chunk threshold for every production CHUNK.
+    """
+    from tpu_renderer.kernels import raster
+
+    cfg = RendererConfig()
+    n_chunks_2m = 2_000_000 // raster.CHUNK
+    assert n_chunks_2m > cfg.dense_bin_max_chunks  # 2M tris => bounded path
+
+    # integration: a small real scene over a tiny threshold flips the
+    # engine to the deferred path and still renders
+    eng = _engine(tmp_path)  # grid=2 demo scene, a handful of chunks
+    assert eng._fused  # default: under the threshold, fused stays on
+
+    path = str(tmp_path / "scene.glb")
+    cfg = RendererConfig(width=256, height=64, dense_bin_max_chunks=1,
+                         camera_position=(0.0, 2.0, 12.0))
+    eng2 = Engine(cfg)
+    eng2.init(scene_path=path)
+    assert not eng2._fused  # guard tripped: bounded deferred path
+    img = eng2.draw()
+    assert img.shape == (64, 256, 4) and img.dtype == np.uint8

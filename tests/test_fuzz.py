@@ -24,9 +24,12 @@ def _random_glb(rng, path):
         tex = None
         if rng.uniform() < 0.5:
             img = rng.integers(0, 256, (4, 4, 4), dtype=np.uint8)
+            # 12345 = out-of-enum filter value: extract_filter/
+            # extract_mipmap_mode default branches map it to LINEAR
+            # (vk_loader.cpp:38-40, :51-53)
             sampler = b.add_sampler(
-                mag=int(rng.choice([9728, 9729])),
-                min_=int(rng.choice([9728, 9729, 9985, 9987])))
+                mag=int(rng.choice([9728, 9729, 12345])),
+                min_=int(rng.choice([9728, 9729, 9985, 9987, 12345])))
             tex = b.add_texture(b.add_image(np.asarray(img)), sampler)
         mi = b.add_material(tuple(rng.uniform(0, 1, 4).astype(float)),
                             texture=tex,

@@ -131,6 +131,7 @@ def test_common_samplers_default_to_trilinear(tmp_path):
         b.add_sampler(mag=None, min_=None),   # missing filters
         b.add_sampler(mag=9728, min_=9986),   # nearest-mip-linear
         b.add_sampler(mag=9729, min_=9985),   # linear-mip-NEAREST
+        b.add_sampler(mag=12345, min_=54321),  # out-of-enum values
     ]
     for s in cases:
         b.add_texture(i, s)
@@ -147,6 +148,9 @@ def test_common_samplers_default_to_trilinear(tmp_path):
     # NearestMipMapLinear is in extract_filter's NEAREST group (vk_loader.cpp:31)
     assert flags[3] == FILTER_MIP_LINEAR
     assert flags[4] == FILTER_MAG_LINEAR | FILTER_MIN_LINEAR
+    # out-of-enum filter values fall to the default LINEAR branches of both
+    # extract_filter (vk_loader.cpp:38-40) and extract_mipmap_mode (:51-53)
+    assert flags[5] == FILTER_MAG_LINEAR | FILTER_MIN_LINEAR | FILTER_MIP_LINEAR
 
 
 def test_sparse_accessor_substitution(tmp_path):

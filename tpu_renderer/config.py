@@ -66,6 +66,16 @@ class RendererConfig:
     # bins + reactive cap escalation; kept as an A/B oracle and for the
     # multichip composite comparison.
     fused: bool = True
+    # Dense-bin memory guard: the fused path's uncapped bins are
+    # O(n_tiles x n_chunks) i32 (+ i32 sort keys past 32k chunks) —
+    # ~24 MB per million triangles at 1080p/32x128 tiles (docs/PERF.md
+    # "Dense-bin memory envelope"). Scenes whose triangle count exceeds
+    # dense_bin_max_chunks * raster.CHUNK (default ~1M tris) auto-fall
+    # back to the capped deferred path (Engine._compute_caps), whose
+    # memory is bounded by bin_cap/tri_cap + reactive escalation. 32768
+    # is also the i16 sort-key envelope: beyond it the row-wise bin sort
+    # pays double-width keys anyway (raster._dense_sorted_hits).
+    dense_bin_max_chunks: int = 32768
 
     # --- Multi-chip scale-out (no reference counterpart; SURVEY §2.4) ---
     # (rows, tri): shard the framebuffer row bands over 'rows' devices and

@@ -14,6 +14,7 @@ counters, and the background-effect selection.
 from __future__ import annotations
 
 import dataclasses
+import logging
 import time
 from typing import Optional
 
@@ -26,6 +27,8 @@ from tpu_renderer.config import RendererConfig
 from tpu_renderer.pipeline import FrameParams, render_frame  # noqa: F401
 from tpu_renderer.kernels import raster
 from tpu_renderer.resources import FILTER_MIP_LINEAR
+
+logger = logging.getLogger(__name__)
 
 
 @dataclasses.dataclass
@@ -93,6 +96,17 @@ class Engine:
         bin_cap = int(min(max(64, n_chunks), 512))
         tri_cap = 1024
         self._caps = dict(bin_cap=bin_cap, tri_cap=tri_cap)
+        # Dense-bin memory guard: above dense_bin_max_chunks the fused
+        # path's O(n_tiles x n_chunks) uncapped bins grow past the
+        # documented envelope (config.dense_bin_max_chunks; docs/PERF.md),
+        # so the engine auto-selects the bounded deferred path instead.
+        self._fused = bool(self.config.fused
+                           and n_chunks <= self.config.dense_bin_max_chunks)
+        if self._fused != self.config.fused:
+            logger.info(
+                "scene has %d chunks > dense_bin_max_chunks=%d: "
+                "falling back to the capped deferred raster path",
+                n_chunks, self.config.dense_bin_max_chunks)
         # static per-scene draw/triangle counts for the stats HUD (computed
         # once — fetching the mask arrays per frame is host-transfer waste)
         self._n_transp_draws = int(np.sum(~np.asarray(b.draw_opaque_mask)))
@@ -168,7 +182,7 @@ class Engine:
                 tile_h=cfg.tile_h, tile_w=cfg.tile_w,
                 fp16=cfg.framebuffer_fp16,
                 transp_textured=self._transp_textured(),
-                fused=cfg.fused,
+                fused=self._fused,
                 trilinear=self._trilinear,
                 **self._extents(),
                 **self._caps,
@@ -180,7 +194,7 @@ class Engine:
                 tile_h=cfg.tile_h, tile_w=cfg.tile_w,
                 fp16=cfg.framebuffer_fp16,
                 transp_textured=self._transp_textured(),
-                fused=cfg.fused,
+                fused=self._fused,
                 trilinear=self._trilinear,
                 bg_fb=self._bg_fb_cached(params),
                 **self._extents(),

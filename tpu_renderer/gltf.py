@@ -142,11 +142,15 @@ class ParsedGLTF:
 def _filter_flags(mag: int, min_: int) -> int:
     """vk_loader.cpp:26-54 filter conversion, flattened to bits."""
     flags = 0
-    if mag in (_LINEAR, _LINEAR_MIPMAP_NEAREST, _LINEAR_MIPMAP_LINEAR) or mag is None:
-        # extract_filter's default branch is linear, but the *caller* defaults
-        # a missing filter to Nearest first (vk_loader.cpp:204-206)
+    # extract_filter (vk_loader.cpp:26-41) returns NEAREST only for the three
+    # Nearest* enums; everything else — plain/mipmapped Linear AND any
+    # out-of-enum value — falls to the default LINEAR branch. A *missing*
+    # filter was already substituted with Nearest by the caller
+    # (value_or(Nearest), vk_loader.cpp:204-206).
+    _nearest = (_NEAREST, _NEAREST_MIPMAP_NEAREST, _NEAREST_MIPMAP_LINEAR)
+    if mag not in _nearest:
         flags |= FILTER_MAG_LINEAR
-    if min_ in (_LINEAR, _LINEAR_MIPMAP_NEAREST, _LINEAR_MIPMAP_LINEAR):
+    if min_ not in _nearest:
         flags |= FILTER_MIN_LINEAR
     # extract_mipmap_mode (vk_loader.cpp:43-54) returns MIPMAP_MODE_NEAREST
     # only for *MipMapNearest; every other min filter — including plain
@@ -355,20 +359,28 @@ def load_gltf(path: str) -> ParsedGLTF:
     base_dir = os.path.dirname(os.path.abspath(path))
 
     if blob[:4] == b"glTF":
+        if len(blob) < 12:
+            raise ValueError("truncated GLB header")
         magic, version, _length = struct.unpack_from("<III", blob, 0)
-        assert version == 2, f"unsupported GLB version {version}"
+        if version != 2:
+            raise ValueError(f"unsupported GLB version {version}")
         off = 12
         gltf_json = None
         bin_chunk = None
-        while off < len(blob):
+        while off + 8 <= len(blob):
             clen, ctype = struct.unpack_from("<II", blob, off)
             off += 8
+            if off + clen > len(blob):
+                raise ValueError("GLB chunk extends past end of file")
             chunk = blob[off:off + clen]
             off += clen
             if ctype == 0x4E4F534A:  # 'JSON'
                 gltf_json = json.loads(chunk.decode("utf-8"))
             elif ctype == 0x004E4942:  # 'BIN\0'
                 bin_chunk = chunk
+            # unknown chunk types are skipped (GLB spec: readers must ignore)
+        if gltf_json is None:
+            raise ValueError("GLB has no JSON chunk")
         gltf = gltf_json
     else:
         gltf = json.loads(blob.decode("utf-8"))
