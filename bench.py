@@ -50,24 +50,30 @@ def _run() -> int:
     # warmup: compile + one steady frame (the only host image transfer)
     eng.draw()
 
-    # Pre-stage per-frame camera params on device (the host input path is a
-    # ~ms-latency tunnel in this environment; on a directly attached TPU the
-    # upload is microseconds and irrelevant).
     import jax
 
-    param_list = []
-    for i in range(frames):
-        eng.camera.yaw = np.float32(0.002 * i)  # orbit: frames differ
-        param_list.append(eng.update_scene())
-    jax.block_until_ready(param_list)
-
-    # Steady-state: the whole frame sequence runs as ONE device program
-    # (lax.scan — the deep frame-pipelining analog of FRAME_OVERLAP), so the
-    # measurement has no host round trips at all. Per-frame checksums force
-    # every frame to render.
     from tpu_renderer.pipeline import render_frames
 
-    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *param_list)
+    def scan_fps(eng_x, kw_x):
+        """Steady-state FPS: the whole frame sequence runs as ONE device
+        program (lax.scan — the deep frame-pipelining analog of
+        FRAME_OVERLAP), so the measurement has no host round trips at all.
+        Per-frame camera params are pre-staged on device (the host input
+        path is a ~ms-latency tunnel here; a directly attached TPU pays
+        microseconds); per-frame checksums force every frame to render."""
+        param_list = []
+        for i in range(frames):
+            eng_x.camera.yaw = np.float32(0.002 * i)  # orbit: frames differ
+            param_list.append(eng_x.update_scene())
+        jax.block_until_ready(param_list)
+        stacked_x = jax.tree.map(lambda *xs: jnp.stack(xs), *param_list)
+        img, sums = render_frames(eng_x.flat.buffers, stacked_x, **kw_x)
+        _ = np.asarray(sums)  # compile + warm
+        t0 = time.perf_counter()
+        img, sums = render_frames(eng_x.flat.buffers, stacked_x, **kw_x)
+        _ = np.asarray(sums)  # forces every frame (tiny transfer)
+        return frames / (time.perf_counter() - t0), img
+
     # BENCH_RENDER_SCALE < 1 exercises the live render-scale path (scaled
     # draw extent + linear upscale blit); the headline metric stays 1.0
     scale = float(os.environ.get("BENCH_RENDER_SCALE", "1.0"))
@@ -80,12 +86,8 @@ def _run() -> int:
         kw.update(width=max(1, round(eng.config.width * scale)),
                   height=max(1, round(eng.config.height * scale)),
                   out_width=eng.config.width, out_height=eng.config.height)
-    image, sums = render_frames(eng.flat.buffers, stacked, **kw)  # compile
-    _ = np.asarray(sums)
-    t0 = time.perf_counter()
-    image, sums = render_frames(eng.flat.buffers, stacked, **kw)
-    _ = np.asarray(sums)  # forces every frame (tiny transfer)
-    dt = time.perf_counter() - t0
+    fps, image = scan_fps(eng, kw)
+    dt = frames / fps
     # the 8 MB final-image fetch is a ~130 ms tunnel artifact of THIS
     # environment, not frame work (the reference never copies frames to the
     # host either) — keep it out of the timed region
@@ -102,20 +104,30 @@ def _run() -> int:
     eng_t.camera.pitch = np.float32(-0.18)
     eng_t.init(scene_path=tri_path)
     assert eng_t._trilinear, "trilinear variant must detect 2-tap samplers"
-    param_list_t = []
-    for i in range(frames):
-        eng_t.camera.yaw = np.float32(0.002 * i)
-        param_list_t.append(eng_t.update_scene())
-    jax.block_until_ready(param_list_t)
-    stacked_t = jax.tree.map(lambda *xs: jnp.stack(xs), *param_list_t)
     kw_t = dict(kw, transp_textured=eng_t._transp_textured(),
                 trilinear=True)
-    image_t, sums_t = render_frames(eng_t.flat.buffers, stacked_t, **kw_t)
-    _ = np.asarray(sums_t)
-    t2 = time.perf_counter()
-    image_t, sums_t = render_frames(eng_t.flat.buffers, stacked_t, **kw_t)
-    _ = np.asarray(sums_t)
-    fps_tri = frames / (time.perf_counter() - t2)
+    fps_tri, _img_t = scan_fps(eng_t, kw_t)
+
+    # Stress variant: ~4x the triangle load (184k visible tris at grid 128)
+    # — the scaling axis the reference's hardware raster is indifferent to
+    # (vk_engine.cpp:1453), measured end-to-end and driver-visible.
+    stress_grid = int(os.environ.get("BENCH_STRESS_GRID", "128"))
+    if jax.default_backend() != "tpu":
+        stress_grid = 4
+    s_path = os.path.join(tempfile.gettempdir(),
+                          f"bench_scene_{stress_grid}.glb")
+    if not os.path.exists(s_path):
+        build_demo_glb(s_path, grid=stress_grid, seed=0)
+    cfg_s = RendererConfig(width=width, height=height,
+                           camera_position=(0.0, 6.0, stress_grid * 2.0))
+    eng_s = Engine(cfg_s)
+    eng_s.camera.pitch = np.float32(-0.18)
+    eng_s.init(scene_path=s_path)
+    eng_s.draw()  # warmup + live triangle counter
+    stress_tris = eng_s.stats.triangle_count
+    kw_s = dict(kw, transp_textured=eng_s._transp_textured(),
+                trilinear=eng_s._trilinear)
+    fps_stress, _img_s = scan_fps(eng_s, kw_s)
 
     # Interactive mode: the reference's live loop analog — per-frame host
     # camera update + dispatch, presenting with FRAME_OVERLAP frames in
@@ -156,6 +168,10 @@ def _run() -> int:
             "frame_ms": round(1000 * dt / frames, 2),
             "trilinear_fps": round(fps_tri, 2),
             "trilinear_frame_ms": round(1000 / fps_tri, 2),
+            "stress_fps": round(fps_stress, 2),
+            "stress_frame_ms": round(1000 / fps_stress, 2),
+            "stress_triangles": stress_tris,
+            "stress_mtris_per_sec": round(stress_tris * fps_stress / 1e6, 2),
             # fullfetch = per-frame FULL 8 MB image fetch through the host
             # tunnel — a transfer benchmark of THIS environment, not renderer
             # work (~2 ms on a directly attached TPU). The interactive UX

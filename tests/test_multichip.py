@@ -36,13 +36,17 @@ def test_multichip_matches_single_chip(rows, tri, fused):
     scene = milestones.colored_quad_scene(z0=0.4, z1=0.7)
     flat = flatten_scene(scene)
     params = _params()
-    single, _ = render_frame(flat.buffers, params, width=W, height=H,
-                             bin_cap=128, fused=fused)
+    single, aux1 = render_frame(flat.buffers, params, width=W, height=H,
+                                bin_cap=128, fused=fused)
     mesh = make_mesh(rows, tri)
-    multi = render_frame_multichip(flat.buffers, params, mesh=mesh,
-                                   width=W, height=H,
-                                   bin_cap=128, fused=fused)
+    multi, aux2 = render_frame_multichip(flat.buffers, params, mesh=mesh,
+                                         width=W, height=H,
+                                         bin_cap=128, fused=fused)
     np.testing.assert_array_equal(np.asarray(multi), np.asarray(single))
+    # the psum'd aux counters must composite to the single-chip values
+    for k in ("opaque_triangles", "visible_opaque_draws"):
+        assert int(aux2[k]) == int(aux1[k]), k
+    assert int(aux2["opaque_triangles"]) == 2
 
 
 @pytest.mark.slow
@@ -58,7 +62,7 @@ def test_multichip_transparent():
     single, _ = render_frame(flat.buffers, params, width=W, height=H,
                              bin_cap=128, transp_textured=False)
     mesh = make_mesh(2, 2)
-    multi = render_frame_multichip(flat.buffers, params, mesh=mesh,
+    multi, _ = render_frame_multichip(flat.buffers, params, mesh=mesh,
                                    width=W, height=H,
                                    bin_cap=128, transp_textured=False)
     np.testing.assert_array_equal(np.asarray(multi), np.asarray(single))
@@ -86,7 +90,7 @@ def test_multichip_stacked_transparent_layers():
     single, _ = render_frame(flat.buffers, params, width=W, height=H,
                              bin_cap=128, transp_textured=False)
     mesh = make_mesh(2, 2)
-    multi = render_frame_multichip(flat.buffers, params, mesh=mesh,
+    multi, _ = render_frame_multichip(flat.buffers, params, mesh=mesh,
                                    width=W, height=H,
                                    bin_cap=128, transp_textured=False)
     diff = np.abs(np.asarray(multi).astype(int) - np.asarray(single).astype(int))
@@ -110,7 +114,7 @@ def test_multichip_textured_transparent_unbounded(fused):
     single, _ = render_frame(flat.buffers, params, width=W, height=H,
                              bin_cap=128, transp_textured=True, fused=fused)
     mesh = make_mesh(2, 2)
-    multi = render_frame_multichip(flat.buffers, params, mesh=mesh,
+    multi, _ = render_frame_multichip(flat.buffers, params, mesh=mesh,
                                    width=W, height=H,
                                    bin_cap=128, transp_textured=True,
                                    fused=fused)
@@ -144,7 +148,7 @@ def test_multichip_trilinear_textured(fused):
     single, _ = render_frame(flat.buffers, params, width=W, height=H,
                              bin_cap=128, fused=fused, trilinear=True)
     mesh = make_mesh(2, 2)
-    multi = render_frame_multichip(flat.buffers, params, mesh=mesh,
+    multi, _ = render_frame_multichip(flat.buffers, params, mesh=mesh,
                                    width=W, height=H,
                                    bin_cap=128, fused=fused, trilinear=True)
     np.testing.assert_array_equal(np.asarray(multi), np.asarray(single))
@@ -162,7 +166,7 @@ def test_multichip_render_scale_out_extent():
                              bin_cap=128, fused=False,
                              out_width=2 * W, out_height=2 * H)
     mesh = make_mesh(2, 1)
-    multi = render_frame_multichip(flat.buffers, params, mesh=mesh,
+    multi, _ = render_frame_multichip(flat.buffers, params, mesh=mesh,
                                    width=W, height=H,
                                    bin_cap=128, fused=False,
                                    out_width=2 * W, out_height=2 * H)
@@ -170,28 +174,31 @@ def test_multichip_render_scale_out_extent():
     np.testing.assert_array_equal(np.asarray(multi), np.asarray(single))
 
 
-def test_engine_multichip_product_path():
+def test_engine_multichip_product_path(tmp_path):
     """Engine(config.multichip) routes draw() through the sharded renderer
-    and matches the single-chip engine pixel-exactly."""
+    and matches the single-chip engine pixel-exactly — on a scene the
+    camera actually sees, so the live psum'd aux counters are exercised."""
     from tpu_renderer.config import RendererConfig
     from tpu_renderer.engine import Engine
+    from tpu_renderer.utils.demo import build_demo_glb
 
     if len(jax.devices()) < 4:
         pytest.skip("not enough devices")
-    import tpu_renderer.milestones as ms
-
+    path = str(tmp_path / "scene.glb")
+    build_demo_glb(path, grid=2)
     base = dict(width=W, height=H, fused=False,
-                **ms.UNLIT_CONFIG_OVERRIDES)
-    scene = ms.colored_quad_scene(z0=0.4, z1=0.7)
+                camera_position=(0.0, 2.0, 12.0))
     eng1 = Engine(RendererConfig(**base))
-    eng1.init(scene=scene)
+    eng1.init(scene_path=path)
     img1 = eng1.draw()
     eng2 = Engine(RendererConfig(multichip=(2, 2), **base))
-    eng2.init(scene=ms.colored_quad_scene(z0=0.4, z1=0.7))
+    eng2.init(scene_path=path)
     assert eng2.mesh is not None and eng2.mesh.shape == {"rows": 2, "tri": 2}
     img2 = eng2.draw()
     np.testing.assert_array_equal(img2, img1)
-    assert eng2.stats.triangle_count == 2  # static scene totals (no aux)
+    # live psum'd aux counters must match the single-chip engine's
+    assert eng2.stats.triangle_count == eng1.stats.triangle_count > 0
+    assert eng2.stats.drawcall_count == eng1.stats.drawcall_count > 0
 
 
 @pytest.mark.slow

@@ -130,3 +130,49 @@ def test_setup_rows_no_sun_defaults():
     np.testing.assert_allclose(np.asarray(aabb)[keep],
                                np.asarray(ref_setup.aabb)[keep],
                                rtol=1e-4, atol=1e-4)
+
+
+def test_setup_rows_y0_band_rebase():
+    """Multichip band rebase: triangle_setup_rows(y0) must match the old
+    composition _shift_rows_y(packed) -> build_shade_rows (the gathered
+    path's post-hoc shift), same tolerance regime as the main parity test;
+    pixel-level exactness under the mesh is pinned by test_multichip."""
+    from tpu_renderer.parallel.multichip import _shift_aabb_y, _shift_rows_y
+
+    (positions, normals, colors, uvs, tri_vidx, tri_draw, tri_valid,
+     draw_model, draw_visible, draw_mat, factors, mat_meta,
+     viewproj) = _random_inputs()  # seed 0: no det==0 knife-edge flips
+    W, H = 160, 96
+    y0 = jnp.float32(32.0)
+    sun = np.asarray([0.2, -0.6, 0.9], np.float32)
+
+    corners = vertex.expand_corners(
+        positions, normals, colors, uvs, tri_vidx, tri_draw, tri_valid,
+        draw_mat, factors, mat_meta=mat_meta)
+
+    ref_setup = vertex.triangle_setup_c(
+        corners, jnp.asarray(tri_draw), jnp.asarray(tri_valid),
+        jnp.asarray(draw_model), jnp.asarray(draw_visible),
+        jnp.asarray(viewproj), W, H, sun_dir=sun)
+    packed_l = _shift_rows_y(ref_setup.packed, y0)
+    aabb_l = _shift_aabb_y(ref_setup.aabb, y0)
+    ref_rows = shade.build_shade_rows(packed_l, ref_setup.attrs,
+                                      aabb=aabb_l, meta6=corners.meta6)
+
+    rows, aabb, valid = vertex.triangle_setup_rows(
+        corners, jnp.asarray(tri_draw), jnp.asarray(tri_valid),
+        jnp.asarray(draw_model), jnp.asarray(draw_visible),
+        jnp.asarray(viewproj), W, H, sun_dir=sun, y0=y0)
+
+    np.testing.assert_array_equal(np.asarray(valid),
+                                  np.asarray(ref_setup.valid))
+    np.testing.assert_allclose(np.asarray(aabb), np.asarray(aabb_l),
+                               rtol=1e-4, atol=1e-4)
+    r0 = np.asarray(ref_rows)
+    r1 = np.asarray(rows)
+    exact_cols = [12, 31, 32, 33, 34, 35, 36]
+    np.testing.assert_array_equal(r0[:, exact_cols], r1[:, exact_cols])
+    np.testing.assert_allclose(r1, r0, rtol=1e-3, atol=1e-4)
+    nz = np.abs(r0) > 1e-20
+    rel = np.abs(r1[nz] - r0[nz]) / np.abs(r0[nz])
+    assert np.median(rel) < 1e-6

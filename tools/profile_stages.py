@@ -91,17 +91,16 @@ def main():
             vis = vertex.draw_visibility(viewproj, buffers.draw_model,
                                          buffers.draw_bounds_origin,
                                          buffers.draw_bounds_extents)
-            setup = vertex.triangle_setup_c(
+            # the production T-minor fused setup (pipeline.py render_frame)
+            rows0, o_aabb, o_valid = vertex.triangle_setup_rows(
                 buffers.opaque_corners, buffers.opaque_tri_draw,
                 buffers.opaque_tri_valid, buffers.draw_model, vis, viewproj,
                 width, height, sun_dir=params.sun_dir[:3])
             if upto == 1:
-                return checksum(setup.packed) + checksum(setup.attrs)
+                return checksum(rows0)
 
-            rows0 = shade.build_shade_rows(setup.packed, setup.attrs,
-                                           meta6=buffers.opaque_corners.meta6)
             aabb_s, valid_s, rows_s = raster.spatial_sort(
-                setup.aabb, setup.valid, rows0)
+                o_aabb, o_valid, rows0)
             caabb, cvalid = raster.chunk_aabbs(aabb_s, valid_s)
             cbins, ccounts = raster.bin_triangles_full(
                 caabb, cvalid, tiles_x=tiles_x, tiles_y=tiles_y,
@@ -130,20 +129,20 @@ def main():
             if upto == 5:
                 return checksum(fb)
 
-            setup_t = vertex.triangle_setup_c(
+            rows_t0, t_aabb, t_valid = vertex.triangle_setup_rows(
                 buffers.transp_corners, buffers.transp_tri_draw,
                 buffers.transp_tri_valid, buffers.draw_model,
                 jnp.ones_like(vis), viewproj,
                 width, height, sun_dir=params.sun_dir[:3])
-            caabb_t, cvalid_t = raster.chunk_aabbs(setup_t.aabb, setup_t.valid)
+            aabb_ta, valid_ta, rows_t = raster.spatial_sort(
+                t_aabb, t_valid, rows_t0)
+            caabb_t, cvalid_t = raster.chunk_aabbs(aabb_ta, valid_ta)
             cbins_t, ccounts_t = raster.bin_triangles_full(
                 caabb_t, cvalid_t, tiles_x=tiles_x, tiles_y=tiles_y,
                 tile_w=tile_w, tile_h=tile_h)
             if upto == 6:
                 return checksum(cbins_t.astype(jnp.float32))
 
-            rows_t = shade.build_shade_rows(setup_t.packed, setup_t.attrs,
-                                            meta6=buffers.transp_corners.meta6)
             light = jnp.concatenate([
                 params.sun_dir[:3], params.sun_color[3:4],
                 params.ambient[:3], jnp.zeros(1, jnp.float32)])

@@ -172,12 +172,12 @@ class Engine:
             params = self.update_scene()
         cfg = self.config
         if getattr(self, "mesh", None) is not None:
-            # sharded product path: same statics, composited over the mesh
-            # (returns no aux counters — sharded frames keep device scalars
-            # out of the composite; stats fall back to the static counts)
+            # sharded product path: same statics, composited over the mesh;
+            # aux counters composite too (psum/pmax collectives), so stats
+            # and deferred-path cap escalation work exactly as single-chip
             from tpu_renderer.parallel.multichip import render_frame_multichip
 
-            image = render_frame_multichip(
+            image, aux = render_frame_multichip(
                 self.flat.buffers, params, mesh=self.mesh,
                 tile_h=cfg.tile_h, tile_w=cfg.tile_w,
                 fp16=cfg.framebuffer_fp16,
@@ -187,7 +187,6 @@ class Engine:
                 **self._extents(),
                 **self._caps,
             )
-            aux = {}
         else:
             image, aux = render_frame(
                 self.flat.buffers, params,
@@ -355,8 +354,6 @@ class Engine:
         vals = np.asarray(jnp.stack([aux[k].astype(jnp.int32) for k in keys])) \
             if keys else np.zeros(0, np.int32)
         a = dict(zip(keys, vals.tolist()))
-        # sharded frames carry no aux counters: report the static pre-cull
-        # scene totals instead of the per-frame visible counts
         self.stats.triangle_count = (a.get("opaque_triangles",
                                            self._n_opaque_tris)
                                      + self._n_transp_tris)

@@ -208,6 +208,15 @@ def spatial_sort(aabb, valid, *payloads):
             fy = jnp.where(swap & (rx == 1), s - 1 - y, y)
             x = jnp.where(swap, fy, fx)
             y = jnp.where(swap, fx, fy)
+    elif _mode == "bandserp":
+        # tile-row-aligned serpentine: 32-px band major (the raster tile
+        # height), x-cell minor with a snaked 8-px y inside the band, so
+        # chunks rarely straddle tile rows (A/B candidate vs hilbert)
+        band = jnp.clip(y0 >> 5, 0, (1 << 15) - 1)
+        xc = jnp.clip(x0 >> 3, 0, 4095)
+        yl = jnp.clip((y0 >> 3) & 3, 0, 3)
+        ys = jnp.where((xc & 1) == 1, 3 - yl, yl)
+        key = (band << 14) | (xc << 2) | ys
     else:  # band-major round-3 key, kept for A/B comparison
         key = (jnp.clip(y0 >> 3, 0, (1 << 20) - 1) * 1024
                + jnp.clip(x0 >> 5, 0, 1023))

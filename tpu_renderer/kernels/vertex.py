@@ -299,6 +299,14 @@ def triangle_setup_rows(
     width: int,
     height: int,
     sun_dir=None,
+    y0=None,        # () f32 — band-local y rebase for the multichip row
+    #                 bands (parallel/multichip.py): every linear plane's
+    #                 constant gets C += B*y0 and the AABB shifts -y0, with
+    #                 the exact rounding ORDER of the gathered path's
+    #                 _shift_rows_y (edge C shifted BEFORE the attribute
+    #                 numerator planes are formed; the depth plane shifted
+    #                 AFTER composition), so sharded frames keep compositing
+    #                 bit-identically to the single-chip pipeline.
 ):
     """T-minor fast path: triangle_setup_c + shade.build_shade_rows fused,
     computed on dense (T,)-lane planes, returning (rows48, aabb, valid).
@@ -365,9 +373,15 @@ def triangle_setup_rows(
     # the never-covered (0, 0, -1) row exactly as triangle_setup_c
     cp = [[jnp.where(good, (e[c] * s) * inv_det, dead[c])
            for c in range(3)] for e in (e0, e1, e2)]
-    # depth plane z(X,Y): einsum("tec,te->tc", cplane, zc)
+    # depth plane z(X,Y): einsum("tec,te->tc", cplane, zc) — from the
+    # GLOBAL edge planes, then (multichip) shifted post-composition
     zplane = [cp[0][c] * zc[0] + cp[1][c] * zc[1] + cp[2][c] * zc[2]
               for c in range(3)]
+    if y0 is not None:
+        zplane[2] = zplane[2] + zplane[1] * y0
+        # edge C rebased BEFORE pa/pb/pc/den_c form below (dead rows keep
+        # their (0, 0, -1) never-covered form: B is 0 there)
+        cp = [[e[0], e[1], e[2] + e[1] * y0] for e in cp]
 
     # screen AABB (same guards as triangle_setup_c)
     w_ok = (w[0] > f32(1e-6)) & (w[1] > f32(1e-6)) & (w[2] > f32(1e-6))
@@ -383,6 +397,9 @@ def triangle_setup_rows(
     ab = [jnp.where(good, jnp.clip(v, 0.0, hi), e)
           for v, hi, e in ((xmin, W, empty[0]), (ymin, H, empty[1]),
                            (xmax, W, empty[2]), (ymax, H, empty[3]))]
+    if y0 is not None:
+        # band-local AABB (the _shift_aabb_y analog; empty boxes stay empty)
+        ab = [ab[0], ab[1] - y0, ab[2], ab[3] - y0]
 
     # per-corner attributes [light_num, r, g, b, u, v] (see shade.C_ATTR);
     # light = dot(corner normal, mesh-space sun) — einsum("tci,ti->tc")

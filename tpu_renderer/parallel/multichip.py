@@ -104,7 +104,9 @@ def render_frame_multichip(buffers: SceneBuffers, params: FrameParams, *,
                            trilinear: bool = True,
                            out_width: int = None, out_height: int = None):
     """Sharded frame: scene replicated, framebuffer sharded over 'rows',
-    triangles sharded over 'tri'. Returns the (H, W) u32 packed-RGBA image.
+    triangles sharded over 'tri'. Returns ((H, W) u32 packed-RGBA image,
+    aux dict of device counters) like the single-chip render_frame: counts
+    psum over 'tri', overflow diagnostics pmax over the mesh.
 
     trilinear / out_width / out_height mirror the single-chip render_frame
     statics: the single-tap fast path and the live render-scale upscale blit
@@ -137,6 +139,20 @@ def render_frame_multichip(buffers: SceneBuffers, params: FrameParams, *,
     tv, td, tval = shard_tris(buffers.transp_tri_vidx, buffers.transp_tri_draw,
                               buffers.transp_tri_valid)
 
+    def shard_corner_planes(c, tp):
+        """Pad the corner-expanded T-MINOR planes (vertex.CornerData twins)
+        to the 'tri'-shard multiple. Only the planar twins + mat feed
+        triangle_setup_rows; pad rows form dead triangles (draw = -1)."""
+        padn = tp - c.mat.shape[0]
+        p3 = ((0, 0), (0, 0), (0, padn))
+        p2 = ((0, 0), (0, padn))
+        return (jnp.pad(c.posT, p3), jnp.pad(c.nrmT, p3),
+                jnp.pad(c.colT, p3), jnp.pad(c.uvT, p3),
+                jnp.pad(c.meta6T, p2), jnp.pad(c.mat, ((0, padn),)))
+
+    ocp = shard_corner_planes(buffers.opaque_corners, ov.shape[0])
+    tcp = shard_corner_planes(buffers.transp_corners, tv.shape[0])
+
     def q(x):
         return x.astype(jnp.float16).astype(jnp.float32) if fp16 else x
 
@@ -144,14 +160,22 @@ def render_frame_multichip(buffers: SceneBuffers, params: FrameParams, *,
 
     bg_full = q(_background(params, hp, wp, height))
 
+    cp3 = P(None, None, "tri")
+    cp_spec = (cp3, cp3, cp3, cp3, P(None, "tri"), P("tri"))
+    aux_spec = {k: P() for k in (
+        "visible_opaque_draws", "opaque_triangles", "bin_overflow",
+        "bin_overflow_tris", "bin_overflow_transparent",
+        "bin_overflow_transparent_tris", "transparent_layers")}
+
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(P(), P(), P(None, "rows", None), P("tri"), P("tri"),
-                  P("tri"), P("tri"), P("tri"), P("tri")),
-        out_specs=P(None, "rows", None),
+                  P("tri"), P("tri"), P("tri"), P("tri"), cp_spec, cp_spec),
+        out_specs=(P(None, "rows", None), aux_spec),
         check_vma=False,
     )
-    def band_render(buffers, params, fb, ov, od, oval, tv, td, tval):
+    def band_render(buffers, params, fb, ov, od, oval, tv, td, tval,
+                    ocp, tcp):
         row = jax.lax.axis_index("rows")
         tri_idx = jax.lax.axis_index("tri")
         y0 = (row * band_h).astype(jnp.float32)
@@ -162,7 +186,35 @@ def render_frame_multichip(buffers: SceneBuffers, params: FrameParams, *,
                                      buffers.draw_bounds_origin,
                                      buffers.draw_bounds_extents)
 
-        def raster_set(vidx, draw, valid, visible):
+        def raster_set(vidx, draw, valid, visible, cplanes):
+            if fused:
+                # T-minor fused setup+rows — the SAME function as the
+                # single-chip hot path (pipeline.py render_frame), with the
+                # band-local y rebase folded into the plane constants at
+                # setup (y0 kwarg) instead of a post-hoc row shift. Corner
+                # planes arrive 'tri'-sharded, so the per-frame setup work
+                # splits n_tri ways like the raster does.
+                posT, nrmT, colT, uvT, meta6T, mat = cplanes
+                corners = vertex.CornerData(
+                    pos=None, nrm=None, col=None, uv=None, mat=mat,
+                    meta6=None, posT=posT, nrmT=nrmT, colT=colT, uvT=uvT,
+                    meta6T=meta6T)
+                rows_l, aabb_l, valid_l = vertex.triangle_setup_rows(
+                    corners, draw, valid, buffers.draw_model, visible,
+                    viewproj, width, height, sun_dir=params.sun_dir[:3],
+                    y0=y0)
+                # shard-local screen-space sort (tight chunk AABBs, same
+                # ~35% bin-entry cut as the single-chip hot path), then
+                # UNCAPPED dense bins walked in slabs — structurally
+                # overflow-free
+                aabb_s, valid_s, rows_l = raster.spatial_sort(
+                    aabb_l, valid_l, rows_l)
+                caabb, cvalid = raster.chunk_aabbs(aabb_s, valid_s)
+                cbins, ccounts = raster.bin_triangles_full(
+                    caabb, cvalid, tiles_x=tiles_x, tiles_y=tiles_y_band,
+                    tile_w=tile_w, tile_h=tile_h)
+                return (None, aabb_l, rows_l, cbins, ccounts, valid_l,
+                        jnp.int32(0))
             setup = vertex.triangle_setup(
                 buffers.positions, buffers.normals, buffers.colors,
                 buffers.uvs, vidx, draw, valid, buffers.draw_model, visible,
@@ -172,34 +224,33 @@ def render_frame_multichip(buffers: SceneBuffers, params: FrameParams, *,
             aabb_l = _shift_aabb_y(setup.aabb, y0)
             rows_l = shade.build_shade_rows(packed_l, setup.attrs,
                                             buffers.mat_meta)
-            if fused:
-                # shard-local screen-space sort (tight chunk AABBs, same
-                # ~35% bin-entry cut as the single-chip hot path), then
-                # UNCAPPED dense bins walked in slabs — structurally
-                # overflow-free
-                aabb_s, valid_s, rows_l = raster.spatial_sort(
-                    aabb_l, setup.valid, rows_l)
-                caabb, cvalid = raster.chunk_aabbs(aabb_s, valid_s)
-                cbins, ccounts = raster.bin_triangles_full(
-                    caabb, cvalid, tiles_x=tiles_x, tiles_y=tiles_y_band,
-                    tile_w=tile_w, tile_h=tile_h)
-            else:
-                caabb, cvalid = raster.chunk_aabbs(aabb_l, setup.valid)
-                cbins, ccounts, _ = raster.bin_triangles(
-                    caabb, cvalid, tiles_x=tiles_x, tiles_y=tiles_y_band,
-                    tile_w=tile_w, tile_h=tile_h,
-                    bin_cap=bin_cap)
-            return setup, packed_l, aabb_l, rows_l, cbins, ccounts
+            caabb, cvalid = raster.chunk_aabbs(aabb_l, setup.valid)
+            cbins, ccounts, overflow_c = raster.bin_triangles(
+                caabb, cvalid, tiles_x=tiles_x, tiles_y=tiles_y_band,
+                tile_w=tile_w, tile_h=tile_h,
+                bin_cap=bin_cap)
+            return (packed_l, aabb_l, rows_l, cbins, ccounts, setup.valid,
+                    overflow_c)
 
         def refine(cbins, aabb_l):
-            bins, counts, _ = raster.refine_bins(
+            return raster.refine_bins(
                 cbins, aabb_l, tiles_x=tiles_x, tiles_y=tiles_y_band,
                 tile_w=tile_w, tile_h=tile_h, tri_cap=tri_cap)
-            return bins, counts
+
+        # aux counters, composited like the pixels are: sums psum over
+        # 'tri' (each shard counts its triangle subset once; identical
+        # across 'rows'), overflow diagnostics pmax over the whole mesh
+        # (the engine's cap escalation only tests > 0)
+        aux = {k: jnp.int32(0) for k in aux_spec}
+        aux["visible_opaque_draws"] = jnp.sum(
+            (vis & buffers.draw_opaque_mask).astype(jnp.int32))
 
         # opaque: local raster + sort-last composite over 'tri'
-        setup, packed_l, aabb_l, rows_local, cbins, ccounts = raster_set(
-            ov, od, oval, vis)
+        packed_l, aabb_l, rows_local, cbins, ccounts, valid_o, oflow_c = \
+            raster_set(ov, od, oval, vis, ocp)
+        aux["opaque_triangles"] = jax.lax.psum(
+            jnp.sum(valid_o.astype(jnp.int32)), "tri")
+        aux["bin_overflow"] = jax.lax.pmax(oflow_c, ("rows", "tri"))
         t_shard = ov.shape[0]
         if fused:
             # chunk-streaming slab raster, same as the single-chip hot path
@@ -227,7 +278,8 @@ def render_frame_multichip(buffers: SceneBuffers, params: FrameParams, *,
             alpha = jnp.where(valid, jnp.float32(1.0), fb[3])
             fb = q(jnp.concatenate([rgb, alpha[None]], axis=0))
         else:
-            bins, counts = refine(cbins, aabb_l)
+            bins, counts, oflow_t = refine(cbins, aabb_l)
+            aux["bin_overflow_tris"] = jax.lax.pmax(oflow_t, ("rows", "tri"))
             z, tid_local = raster.rasterize(
                 packed_l, bins, counts, tiles_x=tiles_x,
                 tiles_y=tiles_y_band, tile_w=tile_w, tile_h=tile_h)
@@ -251,8 +303,10 @@ def render_frame_multichip(buffers: SceneBuffers, params: FrameParams, *,
         # that shades to exactly black still counts as coverage)
         if tt > 0:
             all_vis = jnp.ones_like(vis)
-            setup_t, packed_tl, aabb_tl, rows_t, cbins_t, ccounts_t = \
-                raster_set(tv, td, tval, all_vis)
+            packed_tl, aabb_tl, rows_t, cbins_t, ccounts_t, _vt, oflow_tc = \
+                raster_set(tv, td, tval, all_vis, tcp)
+            aux["bin_overflow_transparent"] = jax.lax.pmax(
+                oflow_tc, ("rows", "tri"))
             if fused and not transp_textured:
                 light = jnp.concatenate([
                     params.sun_dir[:3], params.sun_color[3:4],
@@ -263,7 +317,9 @@ def render_frame_multichip(buffers: SceneBuffers, params: FrameParams, *,
                     tile_w=tile_w, tile_h=tile_h)
             else:
                 if not fused:
-                    bins_t, counts_t = refine(cbins_t, aabb_tl)
+                    bins_t, counts_t, oflow_tt = refine(cbins_t, aabb_tl)
+                    aux["bin_overflow_transparent_tris"] = jax.lax.pmax(
+                        oflow_tt, ("rows", "tri"))
 
                 # textured: peel the local shard until dry (unbounded)
                 def peel_body(carry):
@@ -306,14 +362,19 @@ def render_frame_multichip(buffers: SceneBuffers, params: FrameParams, *,
                     lambda c: c[3], peel_body, init)
             delta = jax.lax.psum(delta, "tri")
             cnt = jax.lax.psum(cnt, "tri")
+            # max per-pixel layer count == the single-chip while-loop's
+            # iteration count (each iteration peels one layer everywhere)
+            aux["transparent_layers"] = jax.lax.pmax(
+                cnt.max().astype(jnp.int32), "rows")
             covered = cnt > 0
             rgb = jnp.where(covered[None], q(delta + fb[:3] * fb[3][None]), fb[:3])
             alpha = jnp.where(covered, 1.0, fb[3])
             fb = jnp.concatenate([rgb, alpha[None]], axis=0)
 
-        return fb
+        return fb, aux
 
-    fb = band_render(buffers, params, bg_full, ov, od, oval, tv, td, tval)
+    fb, aux = band_render(buffers, params, bg_full, ov, od, oval, tv, td,
+                          tval, ocp, tcp)
     assert (out_width is None) == (out_height is None)
     if out_width is not None and (out_width, out_height) != (width, height):
         # live render-scale: linear upscale blit to the window extent, after
@@ -321,5 +382,5 @@ def render_frame_multichip(buffers: SceneBuffers, params: FrameParams, *,
         # vk_images.cpp:33-64)
         up = jax.image.resize(fb[:, :height, :width],
                               (4, out_height, out_width), method="linear")
-        return to_packed_u32(up, width=out_width, height=out_height)
-    return to_packed_u32(fb, width=width, height=height)
+        return to_packed_u32(up, width=out_width, height=out_height), aux
+    return to_packed_u32(fb, width=width, height=height), aux
