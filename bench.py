@@ -81,7 +81,7 @@ def _run() -> int:
               tile_h=eng.config.tile_h, tile_w=eng.config.tile_w,
               fp16=eng.config.framebuffer_fp16,
               transp_textured=eng._transp_textured(),
-              trilinear=eng._trilinear, **eng._caps)
+              trilinear=eng._trilinear, pot=eng._pot, **eng._caps)
     if scale != 1.0:
         kw.update(width=max(1, round(eng.config.width * scale)),
                   height=max(1, round(eng.config.height * scale)),
@@ -105,7 +105,7 @@ def _run() -> int:
     eng_t.init(scene_path=tri_path)
     assert eng_t._trilinear, "trilinear variant must detect 2-tap samplers"
     kw_t = dict(kw, transp_textured=eng_t._transp_textured(),
-                trilinear=True)
+                trilinear=True, pot=eng_t._pot)
     fps_tri, _img_t = scan_fps(eng_t, kw_t)
 
     # Stress variant: ~4x the triangle load (184k visible tris at grid 128)
@@ -126,7 +126,7 @@ def _run() -> int:
     eng_s.draw()  # warmup + live triangle counter
     stress_tris = eng_s.stats.triangle_count
     kw_s = dict(kw, transp_textured=eng_s._transp_textured(),
-                trilinear=eng_s._trilinear)
+                trilinear=eng_s._trilinear, pot=eng_s._pot)
     fps_stress, _img_s = scan_fps(eng_s, kw_s)
 
     # Interactive mode: the reference's live loop analog — per-frame host

@@ -96,3 +96,51 @@ def test_uv_gradients_match_numeric_derivative_incl_silhouette():
                                    rtol=2e-3, atol=1e-6)
         np.testing.assert_allclose(grads[3][yy, xx], dvdy_ref,
                                    rtol=2e-3, atol=1e-6)
+
+
+def test_pot_wrap_bit_identical():
+    """The power-of-two REPEAT-wrap fast path (pot=True: bitwise AND) must
+    be bit-identical to the int-mod path on POT textures, across negative
+    and tiled uv ranges and all mip levels (shade._level_coords)."""
+    import jax.numpy as jnp
+
+    from tpu_renderer import resources
+
+    rng = np.random.default_rng(11)
+    tex = rng.integers(0, 256, (32, 64, 4), dtype=np.uint8)
+    atlas = resources.build_atlas([tex])
+    H, W = 16, 128
+    u = jnp.asarray(rng.uniform(-3.0, 5.0, (H, W)).astype(np.float32))
+    v = jnp.asarray(rng.uniform(-3.0, 5.0, (H, W)).astype(np.float32))
+    meta = np.asarray(atlas.tex_meta[0])
+    bx = jnp.full((H, W), float(meta[0]), jnp.float32)
+    by = jnp.full((H, W), float(meta[1]), jnp.float32)
+    w0 = jnp.full((H, W), float(meta[2]), jnp.float32)
+    h0 = jnp.full((H, W), float(meta[3]), jnp.float32)
+    n_lv = jnp.full((H, W), float(meta[4]), jnp.float32)
+    flags = jnp.full((H, W), 7.0, jnp.float32)  # trilinear sampler
+    # gradients spanning magnification through deep minification
+    scale = jnp.asarray(
+        rng.uniform(0.001, 4.0, (H, W)).astype(np.float32))
+    grads = (scale / 64.0, scale / 64.0, scale / 32.0, scale / 32.0)
+    a = shade.sample_texture(atlas, bx, by, w0, h0, n_lv, flags, u, v,
+                             grads, trilinear=True, pot=False)
+    b = shade.sample_texture(atlas, bx, by, w0, h0, n_lv, flags, u, v,
+                             grads, trilinear=True, pot=True)
+    for ca, cb in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(ca), np.asarray(cb))
+
+
+def test_engine_detects_pot():
+    from tpu_renderer import milestones
+    from tpu_renderer.config import RendererConfig
+    from tpu_renderer.engine import Engine
+
+    tex_pot = np.zeros((16, 16, 4), np.uint8)
+    eng = Engine(RendererConfig(width=64, height=32))
+    eng.init(scene=milestones.textured_quad_scene(tex_pot))
+    assert eng._pot
+    tex_npot = np.zeros((12, 20, 4), np.uint8)
+    eng2 = Engine(RendererConfig(width=64, height=32))
+    eng2.init(scene=milestones.textured_quad_scene(tex_npot))
+    assert not eng2._pot

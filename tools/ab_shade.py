@@ -48,9 +48,13 @@ def main():
     from tpu_renderer.kernels.common import pad_extent
     from tpu_renderer.utils.demo import build_demo_glb
 
-    path = os.path.join(tempfile.gettempdir(), f"bench_scene_{args.grid}.glb")
+    trilinear_scene = bool(int(os.environ.get("AB_TRILINEAR", "0")))
+    suffix = "_tri" if trilinear_scene else ""
+    path = os.path.join(tempfile.gettempdir(),
+                        f"bench_scene_{args.grid}{suffix}.glb")
     if not os.path.exists(path):
-        build_demo_glb(path, grid=args.grid, seed=0)
+        build_demo_glb(path, grid=args.grid, seed=0,
+                       trilinear=trilinear_scene)
     cfg = RendererConfig(width=args.width, height=args.height,
                          camera_position=(0.0, 6.0, args.grid * 2.0))
     eng = Engine(cfg)
@@ -87,7 +91,7 @@ def main():
     orig_sample_level = shade._sample_level
 
     def fake_sample_level(atlas, base_x, base_y, w0, h0, level, u, v, linear,
-                          active=None):
+                          active=None, pot=False):
         # identical addressing + filtering math, NO gather: fake texels
         # computed elementwise from the flat index
         li = level.astype(jnp.int32)
@@ -118,7 +122,7 @@ def main():
         return tuple(out)
 
     def gather_only_sample_level(atlas, base_x, base_y, w0, h0, level, u, v,
-                                 linear, active=None):
+                                 linear, active=None, pot=False):
         # the real gather, trivial combine (drops the 3-channel bilinear)
         li = level.astype(jnp.int32)
         wl, hl, x0w, y0w, fu, fv = shade._level_coords(w0, h0, li, u, v)
@@ -165,11 +169,31 @@ def main():
         print(f"{name:<12} {dt:7.2f} ms/frame", flush=True)
         return dt
 
-    run_variant("full", orig_sample_level, False)
-    run_variant("no-gather", fake_sample_level, False)
-    run_variant("gather-only", gather_only_sample_level, False)
-    run_variant("trilinear", orig_sample_level, True)
-    run_variant("tri-nogather", fake_sample_level, True)
+    orig_level_coords = shade._level_coords
+
+    def pot_level_coords(w0, h0, li, u, v, pot=False):
+        # power-of-two wrap: x0 & (wl-1) == mod(x0, wl) exactly (incl.
+        # negative x0 in two's complement) — drops the int-div mod planes
+        wl = jnp.maximum(w0.astype(jnp.int32) >> li, 1)
+        hl = jnp.maximum(h0.astype(jnp.int32) >> li, 1)
+        su = u * wl.astype(jnp.float32) - 0.5
+        sv = v * hl.astype(jnp.float32) - 0.5
+        x0 = jnp.floor(su).astype(jnp.int32)
+        y0 = jnp.floor(sv).astype(jnp.int32)
+        return wl, hl, x0 & (wl - 1), y0 & (hl - 1), su - x0, sv - y0
+
+    def pot_variant(name, trilinear):
+        shade._level_coords = pot_level_coords
+        try:
+            run_variant(name, orig_sample_level, trilinear)
+        finally:
+            shade._level_coords = orig_level_coords
+
+    tri = eng._trilinear
+    run_variant("full", orig_sample_level, tri)
+    run_variant("no-gather", fake_sample_level, tri)
+    run_variant("gather-only", gather_only_sample_level, tri)
+    pot_variant("pot-wrap", tri)
 
 
 if __name__ == "__main__":

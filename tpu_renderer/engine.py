@@ -120,6 +120,11 @@ class Engine:
         self._trilinear = bool(np.any(
             (mm[:, 4] > 1)
             & (mm[:, 5].astype(np.int32) & FILTER_MIP_LINEAR).astype(bool)))
+        # static: every bound texture has power-of-two dims -> the sampler's
+        # REPEAT wrap is a bitwise AND instead of two integer-division mod
+        # planes (bit-identical results; shade._level_coords)
+        dims = mm[:, 2:4].astype(np.int64)
+        self._pot = bool(np.all((dims > 0) & ((dims & (dims - 1)) == 0)))
 
     # -- per-frame ------------------------------------------------------------
 
@@ -183,7 +188,7 @@ class Engine:
                 fp16=cfg.framebuffer_fp16,
                 transp_textured=self._transp_textured(),
                 fused=self._fused,
-                trilinear=self._trilinear,
+                trilinear=self._trilinear, pot=self._pot,
                 **self._extents(),
                 **self._caps,
             )
@@ -194,7 +199,7 @@ class Engine:
                 fp16=cfg.framebuffer_fp16,
                 transp_textured=self._transp_textured(),
                 fused=self._fused,
-                trilinear=self._trilinear,
+                trilinear=self._trilinear, pot=self._pot,
                 bg_fb=self._bg_fb_cached(params),
                 **self._extents(),
                 **self._caps,

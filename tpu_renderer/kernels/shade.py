@@ -146,20 +146,28 @@ def uv_gradients(u, v, grad_meta, inv):
     return dudx, dudy, dvdx, dvdy
 
 
-def _level_coords(w0, h0, li, u, v):
+def _level_coords(w0, h0, li, u, v, pot: bool = False):
     """Texel addressing at mip level li: wrapped quad top-left + fractions.
-    All arguments and results are (H, W) planes."""
+    All arguments and results are (H, W) planes.
+
+    pot (STATIC): every texture in the scene has power-of-two dims, so the
+    REPEAT wrap is a bitwise AND (exact for negative x0 too — two's
+    complement) instead of two integer-division mod planes. The engine
+    detects this per scene (Engine._compute_caps); results are
+    bit-identical where both paths are defined."""
     wl = jnp.maximum(w0.astype(jnp.int32) >> li, 1)
     hl = jnp.maximum(h0.astype(jnp.int32) >> li, 1)
     su = u * wl.astype(jnp.float32) - 0.5
     sv = v * hl.astype(jnp.float32) - 0.5
     x0 = jnp.floor(su).astype(jnp.int32)
     y0 = jnp.floor(sv).astype(jnp.int32)
+    if pot:
+        return wl, hl, x0 & (wl - 1), y0 & (hl - 1), su - x0, sv - y0
     return wl, hl, jnp.mod(x0, wl), jnp.mod(y0, hl), su - x0, sv - y0
 
 
 def _sample_level(atlas, base_x, base_y, w0, h0, level, u, v, linear,
-                  active=None):
+                  active=None, pot: bool = False):
     """One mip tap = ONE quad-row gather + planar filtering -> (r, g, b).
 
     Analytic addressing (packed pyramid, resources.build_atlas): with
@@ -170,7 +178,7 @@ def _sample_level(atlas, base_x, base_y, w0, h0, level, u, v, linear,
     address in-table without a separate validity clamp.
     """
     li = level.astype(jnp.int32)
-    wl, hl, x0w, y0w, fu, fv = _level_coords(w0, h0, li, u, v)
+    wl, hl, x0w, y0w, fu, fv = _level_coords(w0, h0, li, u, v, pot=pot)
     w2 = jnp.maximum(w0.astype(jnp.int32), h0.astype(jnp.int32)) << 1
     ex = base_x.astype(jnp.int32) + w2 - (w2 >> li)
     ey = base_y.astype(jnp.int32)
@@ -203,7 +211,7 @@ def _sample_level(atlas, base_x, base_y, w0, h0, level, u, v, linear,
 
 
 def sample_texture(atlas, base_x, base_y, w0, h0, n_levels, flags, u, v,
-                   grads, trilinear: bool = True):
+                   grads, trilinear: bool = True, pot: bool = False):
     """Full sampler: analytic per-triangle mip LOD, trilinear/nearest
     filtering, REPEAT wrap — two taps max. Planar in, (r, g, b) planes out.
 
@@ -246,18 +254,19 @@ def sample_texture(atlas, base_x, base_y, w0, h0, n_levels, flags, u, v,
     # this hardware) — see docs/PERF.md. The second tap's address is masked
     # for pixels whose mip fraction is 0 (mip-nearest samplers, magnified or
     # exactly-on-level pixels): its result is multiplied by 0 anyway.
-    ca = _sample_level(atlas, base_x, base_y, w0, h0, lev_a, u, v, linear)
+    ca = _sample_level(atlas, base_x, base_y, w0, h0, lev_a, u, v, linear,
+                       pot=pot)
     if not trilinear:
         return ca
     cb = _sample_level(atlas, base_x, base_y, w0, h0, lev_b, u, v, linear,
-                       active=frac > 0.0)
+                       active=frac > 0.0, pot=pot)
     inv = 1.0 - frac
     return tuple(a * inv + b * frac for a, b in zip(ca, cb))
 
 
 def light_and_texture(light_num, color_in, uv, texmeta, grads, atlas,
                       ambient_rgb, sun_power, textured: bool = True,
-                      trilinear: bool = True):
+                      trilinear: bool = True, pot: bool = False):
     """mesh.frag:12-19 given already-interpolated attribute PLANES.
 
     light_num: interpolated dot(N, sun_dir) plane (N model-rotated, NOT
@@ -270,7 +279,7 @@ def light_and_texture(light_num, color_in, uv, texmeta, grads, atlas,
     if textured:
         tex = sample_texture(atlas, texmeta[0], texmeta[1], texmeta[2],
                              texmeta[3], texmeta[4], texmeta[5], uv[0], uv[1],
-                             grads, trilinear=trilinear)
+                             grads, trilinear=trilinear, pot=pot)
     else:
         tex = (None, None, None)
     # mesh.frag:13 — light = max(dot(N, sunlight_direction.xyz), 0.1)
@@ -285,7 +294,8 @@ def light_and_texture(light_num, color_in, uv, texmeta, grads, atlas,
 
 
 def shade_fused(attrs, meta, inv, atlas, ambient_rgb, sun_dir, sun_power,
-                textured: bool = True, trilinear: bool = True):
+                textured: bool = True, trilinear: bool = True,
+                pot: bool = False):
     """Shade from the fused raster outputs (no per-pixel row gather).
 
     attrs: (6, Hp, Wp) interpolated [light_num, rgb, uv] planes;
@@ -303,12 +313,13 @@ def shade_fused(attrs, meta, inv, atlas, ambient_rgb, sun_dir, sun_power,
         attrs[0], (attrs[1], attrs[2], attrs[3]),
         (attrs[4], attrs[5]), tuple(meta[m] for m in range(6)), grads,
         atlas, ambient_rgb, sun_power, textured=textured,
-        trilinear=trilinear)
+        trilinear=trilinear, pot=pot)
     return jnp.stack([r, g, b])
 
 
 def shade_core(t, shade_rows, atlas, ambient_rgb, sun_dir, sun_power,
-               textured: bool = True, trilinear: bool = True):
+               textured: bool = True, trilinear: bool = True,
+               pot: bool = False):
     """mesh.frag for per-pixel triangle index t (clamped valid index; pixels
     whose t is a placeholder produce garbage the caller masks).
     Returns (3, H, W) f32 linear rgb.
@@ -335,12 +346,12 @@ def shade_core(t, shade_rows, atlas, ambient_rgb, sun_dir, sun_power,
         interp[0], (interp[1], interp[2], interp[3]),
         (interp[4], interp[5]), tuple(g[..., C_TEX + m] for m in range(6)),
         grads, atlas, ambient_rgb, sun_power, textured=textured,
-        trilinear=trilinear)
+        trilinear=trilinear, pot=pot)
     return jnp.stack([r, gg, b])
 
 
 def shade(tid, shade_rows, atlas, ambient_rgb, sun_dir, sun_power,
-          background, trilinear: bool = True):
+          background, trilinear: bool = True, pot: bool = False):
     """Opaque pass: mesh.frag over the visibility buffer.
 
     tid: (Hp, Wp) i32 visibility buffer (-1 = background)
@@ -351,14 +362,15 @@ def shade(tid, shade_rows, atlas, ambient_rgb, sun_dir, sun_power,
     valid = tid >= 0
     t = jnp.where(valid, tid, 0)
     out_rgb = shade_core(t, shade_rows, atlas, ambient_rgb, sun_dir,
-                         sun_power, trilinear=trilinear)
+                         sun_power, trilinear=trilinear, pot=pot)
     rgb = jnp.where(valid[None, :, :], out_rgb, background[:3])
     alpha = jnp.where(valid, jnp.float32(1.0), background[3])
     return jnp.concatenate([rgb, alpha[None]], axis=0)
 
 
 def blend_layer(fb, tid, shade_rows, atlas, ambient_rgb, sun_dir, sun_power,
-                textured: bool = True, trilinear: bool = True):
+                textured: bool = True, trilinear: bool = True,
+                pot: bool = False):
     """Transparent additive blend of one peeled layer into the framebuffer.
 
     Blend state from enable_blending_additive (vk_pipelines.cpp:157-167):
@@ -369,7 +381,7 @@ def blend_layer(fb, tid, shade_rows, atlas, ambient_rgb, sun_dir, sun_power,
     found = tid >= 0
     t = jnp.where(found, tid, 0)
     src = shade_core(t, shade_rows, atlas, ambient_rgb, sun_dir, sun_power,
-                     textured=textured, trilinear=trilinear)
+                     textured=textured, trilinear=trilinear, pot=pot)
     dst_rgb = fb[:3]
     dst_a = fb[3]
     rgb = jnp.where(found[None], src + dst_rgb * dst_a[None], dst_rgb)

@@ -93,7 +93,7 @@ def _shift_aabb_y(aabb, y0):
     jax.jit,
     static_argnames=("mesh", "width", "height", "tile_h", "tile_w",
                      "bin_cap", "tri_cap", "fp16", "transp_textured",
-                     "fused", "trilinear", "out_width", "out_height"),
+                     "fused", "trilinear", "pot", "out_width", "out_height"),
 )
 def render_frame_multichip(buffers: SceneBuffers, params: FrameParams, *,
                            mesh: Mesh, width: int, height: int,
@@ -101,7 +101,7 @@ def render_frame_multichip(buffers: SceneBuffers, params: FrameParams, *,
                            bin_cap: int = 256,
                            tri_cap: int = 1024, fp16: bool = True,
                            transp_textured: bool = True, fused: bool = True,
-                           trilinear: bool = True,
+                           trilinear: bool = True, pot: bool = False,
                            out_width: int = None, out_height: int = None):
     """Sharded frame: scene replicated, framebuffer sharded over 'rows',
     triangles sharded over 'tri'. Returns ((H, W) u32 packed-RGBA image,
@@ -272,7 +272,7 @@ def render_frame_multichip(buffers: SceneBuffers, params: FrameParams, *,
                 planes[:na], planes[na:na + nm], planes[na + nm],
                 buffers.atlas, params.ambient[:3],
                 params.sun_dir[:3], params.sun_color[3],
-                trilinear=trilinear)
+                trilinear=trilinear, pot=pot)
             valid = tid_win >= 0
             rgb = jnp.where(valid[None], shaded, fb[:3])
             alpha = jnp.where(valid, jnp.float32(1.0), fb[3])
@@ -295,7 +295,7 @@ def render_frame_multichip(buffers: SceneBuffers, params: FrameParams, *,
             fb = q(shade.shade(tid, rows_all, buffers.atlas,
                                params.ambient[:3], params.sun_dir[:3],
                                params.sun_color[3], fb,
-                               trilinear=trilinear))
+                               trilinear=trilinear, pot=pot))
 
         # transparent: additive => psum partial contributions over 'tri'
         # (the same order-independent-sum semantics as the single-chip path;
@@ -335,7 +335,7 @@ def render_frame_multichip(buffers: SceneBuffers, params: FrameParams, *,
                             attrs_px, meta_px, inv_px, buffers.atlas,
                             params.ambient[:3], params.sun_dir[:3],
                             params.sun_color[3], textured=transp_textured,
-                            trilinear=trilinear)
+                            trilinear=trilinear, pot=pot)
                     else:
                         layer = raster.rasterize_peel(
                             packed_tl, bins_t, counts_t, z, last,
@@ -347,7 +347,7 @@ def render_frame_multichip(buffers: SceneBuffers, params: FrameParams, *,
                             tl_layer, rows_t, buffers.atlas,
                             params.ambient[:3], params.sun_dir[:3],
                             params.sun_color[3], textured=transp_textured,
-                            trilinear=trilinear)
+                            trilinear=trilinear, pot=pot)
                     src = jnp.where(found[None], src, 0.0)
                     delta = delta + src
                     cnt = cnt + found.astype(jnp.int32)

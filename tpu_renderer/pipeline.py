@@ -126,14 +126,14 @@ def background_fb(params: FrameParams, *, width: int, height: int,
     jax.jit,
     static_argnames=("width", "height", "tile_h", "tile_w",
                      "bin_cap", "tri_cap", "fp16", "transp_textured",
-                     "fused", "trilinear", "out_width", "out_height"),
+                     "fused", "trilinear", "pot", "out_width", "out_height"),
 )
 def render_frame(buffers: SceneBuffers, params: FrameParams, *,
                  width: int, height: int, tile_h: int = 32, tile_w: int = 128,
                  bin_cap: int = 512,
                  tri_cap: int = 1024, fp16: bool = True,
                  transp_textured: bool = True, fused: bool = True,
-                 trilinear: bool = True,
+                 trilinear: bool = True, pot: bool = False,
                  out_width: int = None, out_height: int = None,
                  bg_fb=None):
     """Render one frame. Returns ((H, W) uint32 packed-RGBA image — see
@@ -222,7 +222,7 @@ def render_frame(buffers: SceneBuffers, params: FrameParams, *,
             shaded = shade.shade_fused(
                 attrs_px, meta_px, inv_px, buffers.atlas, params.ambient[:3],
                 params.sun_dir[:3], params.sun_color[3],
-                trilinear=trilinear)
+                trilinear=trilinear, pot=pot)
             rgb = jnp.where(valid[None], shaded, fb[:3])
             alpha = jnp.where(valid, jnp.float32(1.0), fb[3])
             fb = q(jnp.concatenate([rgb, alpha[None]], axis=0))
@@ -240,7 +240,7 @@ def render_frame(buffers: SceneBuffers, params: FrameParams, *,
             fb = q(shade.shade(
                 tid, rows, buffers.atlas, params.ambient[:3],
                 params.sun_dir[:3], params.sun_color[3], fb,
-                trilinear=trilinear))
+                trilinear=trilinear, pot=pot))
         aux["bin_overflow"] = overflow_c
         aux["bin_overflow_tris"] = overflow_t
         aux["opaque_triangles"] = jnp.sum(o_valid.astype(jnp.int32))
@@ -337,7 +337,8 @@ def render_frame(buffers: SceneBuffers, params: FrameParams, *,
                         attrs_px, meta_px, inv_px, buffers.atlas,
                         params.ambient[:3],
                         params.sun_dir[:3], params.sun_color[3],
-                        textured=transp_textured, trilinear=trilinear)
+                        textured=transp_textured, trilinear=trilinear,
+                        pot=pot)
                     # additive blend (vk_pipelines.cpp:157-167)
                     rgb = jnp.where(found[None], src + fb[:3] * fb[3][None], fb[:3])
                     alpha = jnp.where(found, jnp.float32(1.0), fb[3])
@@ -351,7 +352,8 @@ def render_frame(buffers: SceneBuffers, params: FrameParams, *,
                     fb = q(shade.blend_layer(
                         fb, tid_layer, rows_t, buffers.atlas,
                         params.ambient[:3], params.sun_dir[:3], params.sun_color[3],
-                        textured=transp_textured, trilinear=trilinear))
+                        textured=transp_textured, trilinear=trilinear,
+                        pot=pot))
                 last = jnp.where(found, layer, raster.ID_INF)
                 return fb, last, found.any()
 
@@ -385,7 +387,7 @@ def render_frame(buffers: SceneBuffers, params: FrameParams, *,
     jax.jit,
     static_argnames=("width", "height", "tile_h", "tile_w",
                      "bin_cap", "tri_cap", "fp16", "transp_textured",
-                     "fused", "trilinear", "out_width", "out_height"),
+                     "fused", "trilinear", "pot", "out_width", "out_height"),
 )
 def render_frames(buffers: SceneBuffers, params_batch: FrameParams, **kw):
     """Render a whole batch of frames in ONE device program (lax.scan) —
