@@ -26,6 +26,8 @@ pytestmark = pytest.mark.chunk32
 _TESTS = [
     "tests/test_chunk_streaming.py::test_chunk_raster_matches_gathered_reference",
     "tests/test_chunk_streaming.py::test_slab_raster_matches_single_call",
+    # N_GROUPS=4 only at CHUNK=32: the real per-group gmask skip path
+    "tests/test_chunk_streaming.py::test_gmask_bins_match_all_live",
 ]
 
 

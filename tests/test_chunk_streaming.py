@@ -90,14 +90,20 @@ def _full_setup(scene):
 
 
 def test_bin_triangles_full_matches_capped():
-    """Uncapped dense bins = capped bins when the cap is big enough."""
+    """Uncapped dense bins = capped bins when the cap is big enough.
+    bins_full entries are packed cid << ENTRY_SHIFT | gmask (all-live
+    gmask when no group AABBs are passed)."""
     s, rows, cbins, ccounts, bins_full, counts_full = _full_setup(
         _multi_quad_scene())
     np.testing.assert_array_equal(np.asarray(counts_full),
                                   np.asarray(ccounts))
     cap = cbins.shape[1]
-    np.testing.assert_array_equal(np.asarray(bins_full)[:, :cap],
-                                  np.asarray(cbins))
+    bf = np.asarray(bins_full)[:, :cap]
+    live = np.asarray(cbins) >= 0
+    np.testing.assert_array_equal(
+        np.where(live, bf >> raster.ENTRY_SHIFT, -1), np.asarray(cbins))
+    assert ((bf[live] & raster.ENTRY_GMASK_ALL)
+            == raster.ENTRY_GMASK_ALL).all()
 
 
 def test_slab_raster_matches_single_call():
@@ -147,6 +153,34 @@ def test_spatial_sorted_raster_matches_unsorted():
     t2n = np.asarray(t2)
     mapped = np.where(t2n >= 0, np.asarray(orig)[np.clip(t2n, 0, T - 1)], -1)
     np.testing.assert_array_equal(np.asarray(t1), mapped)
+
+
+def test_gmask_bins_match_all_live():
+    """Real group-mask bins (gmask bits from group_aabbs) must produce a
+    bit-identical framebuffer to all-live bins: the gmask only ever skips
+    groups whose AABB union misses the tile, which cannot cover a pixel
+    there. Entry counts must tighten (or match)."""
+    scene = _multi_quad_scene(5 * raster.CHUNK)
+    s, rows, cbins, ccounts = _setup(scene)
+    # spatial_sort scatters the quads' triangles into gmask-diverse chunks
+    aabb_s, valid_s, rows_s = raster.spatial_sort(s.aabb, s.valid, rows)
+    caabb, cvalid = raster.chunk_aabbs(aabb_s, valid_s)
+    bins_a, counts_a = raster.bin_triangles_full(caabb, cvalid, **KW)
+    gaabb, gvalid = raster.group_aabbs(aabb_s, valid_s)
+    bins_g, counts_g = raster.bin_triangles_full(
+        caabb, cvalid, gaabb=gaabb, gvalid=gvalid, **KW)
+    assert int(counts_g.sum()) <= int(counts_a.sum())
+    gm = np.asarray(bins_g) & raster.ENTRY_GMASK_ALL
+    live = np.asarray(bins_g) >= 0
+    assert (gm[live] > 0).all()
+    if raster.N_GROUPS > 1:
+        # the scene must actually exercise partial masks, else the test
+        # proves nothing about the skip path
+        assert (gm[live] != raster.ENTRY_GMASK_ALL).any()
+    out_a = raster.rasterize_fused_slabs(rows_s, bins_a, counts_a, **KW)
+    out_g = raster.rasterize_fused_slabs(rows_s, bins_g, counts_g, **KW)
+    for a, g in zip(out_a, out_g):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(g))
 
 
 def test_slab_accum_matches_single_call():

@@ -52,7 +52,10 @@ def bin_set(aabb, valid, rows, sort):
     if sort and hasattr(raster, "spatial_sort"):
         aabb, valid, rows = raster.spatial_sort(aabb, valid, rows)
     caabb, cvalid = raster.chunk_aabbs(aabb, valid)
-    out = raster.bin_triangles_full(caabb, cvalid, **KW)
+    kw = {}
+    if int(os.environ.get("AB_GMASK", "1")) and hasattr(raster, "group_aabbs"):
+        kw["gaabb"], kw["gvalid"] = raster.group_aabbs(aabb, valid)
+    out = raster.bin_triangles_full(caabb, cvalid, **KW, **kw)
     bins, counts = out[0], out[1]
     return rows, bins, counts
 

@@ -66,6 +66,21 @@ _HALF = ROW_PAD // ROW_TRIS
 _CHUNK_SHIFT = CHUNK.bit_length() - 1
 assert (1 << _CHUNK_SHIFT) == CHUNK  # tid >> shift == chunk id
 
+# gmask skip groups: dense-bin entries carry a per-(tile, chunk) bitmask of
+# which GROUP-triangle sub-blocks' AABB unions actually overlap the tile
+# (entry = cid << ENTRY_SHIFT | gmask, built by bin_triangles_full). The
+# opaque stream kernel skips whole dead groups on a SCALAR bit test — the
+# predicate is free (no vector->scalar reduce, no coefficient loads), which
+# is what every earlier per-entry skip mechanism paid for (per-tri lax.cond,
+# hierarchical-z: see docs/PERF.md). Entries whose gmask is 0 (the chunk
+# union box overlaps the tile but no member group does) are dropped at bin
+# time for free.
+GROUP = min(8, CHUNK)      # triangles per skip group
+N_GROUPS = CHUNK // GROUP  # 4 at the production CHUNK=32
+assert N_GROUPS * GROUP == CHUNK and N_GROUPS <= 4
+ENTRY_SHIFT = 4            # bins entries: cid << 4 | gmask
+ENTRY_GMASK_ALL = (1 << N_GROUPS) - 1  # "every group live" (unpacked bins)
+
 _FLT_MIN = 1.17549435e-38  # smallest NORMAL f32 (Python float: Pallas
 #                            kernels may not capture array constants)
 
@@ -242,6 +257,27 @@ def chunk_aabbs(aabb, valid):
     return jnp.where(any_valid[:, None], out, empty[None]), any_valid
 
 
+def group_aabbs(aabb, valid):
+    """(T,4) per-tri AABBs -> (T/GROUP, 4) skip-group AABBs (+ validity).
+
+    Group i of chunk c covers triangles [c*CHUNK + i*GROUP, ... + GROUP);
+    feeding these to bin_triangles_full produces per-entry gmask bits the
+    stream raster uses to skip dead sub-blocks (see GROUP above)."""
+    T = aabb.shape[0]
+    assert T % GROUP == 0
+    a = aabb.reshape(-1, GROUP, 4)
+    v = valid.reshape(-1, GROUP)
+    big = jnp.float32(1e30)
+    xmin = jnp.where(v, a[..., 0], big).min(-1)
+    ymin = jnp.where(v, a[..., 1], big).min(-1)
+    xmax = jnp.where(v, a[..., 2], -big).max(-1)
+    ymax = jnp.where(v, a[..., 3], -big).max(-1)
+    any_valid = v.any(-1)
+    empty = jnp.asarray(_EMPTY_AABB, jnp.float32)
+    out = jnp.stack([xmin, ymin, xmax, ymax], -1)
+    return jnp.where(any_valid[:, None], out, empty[None]), any_valid
+
+
 # ---------------------------------------------------------------------------
 # Binning (operates on chunk AABBs)
 # ---------------------------------------------------------------------------
@@ -266,15 +302,7 @@ def _dense_sorted_hits(aabb, valid, *, tiles_x: int, tiles_y: int,
     T = aabb.shape[0]
     n_tiles = tiles_x * tiles_y
     packed = _pack_tile_aabb(aabb, tiles_x, tiles_y, tile_w, tile_h)
-    tiles = jnp.arange(n_tiles, dtype=jnp.int32)
-    tx = (tiles % tiles_x)[:, None]
-    ty = (tiles // tiles_x)[:, None]
-    x0 = (packed & 0xFF)[None, :]
-    y0 = ((packed >> 8) & 0xFF)[None, :]
-    x1 = ((packed >> 16) & 0xFF)[None, :]
-    y1 = ((packed >> 24) & 0xFF)[None, :]
-    hit = (valid[None, :] & (x0 <= x1)
-           & (x0 <= tx) & (x1 >= tx) & (y0 <= ty) & (y1 >= ty))
+    hit = valid[None, :] & _tile_overlap(packed, tiles_x, tiles_y)
     counts = jnp.sum(hit.astype(jnp.int32), axis=1)
     if T < 32767:
         # the row-wise sort dominates binning cost and scales with key
@@ -288,6 +316,61 @@ def _dense_sorted_hits(aabb, valid, *, tiles_x: int, tiles_y: int,
     slot = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None, :],
                             (n_tiles, T))
     key = jnp.where(hit, slot, slot + T)
+    return jax.lax.sort(key, dimension=1), counts
+
+
+def _tile_overlap(packed, tiles_x: int, tiles_y: int):
+    """(n,) packed tile-coord AABBs -> (n_tiles, n) bool overlap matrix."""
+    n_tiles = tiles_x * tiles_y
+    tiles = jnp.arange(n_tiles, dtype=jnp.int32)
+    tx = (tiles % tiles_x)[:, None]
+    ty = (tiles // tiles_x)[:, None]
+    x0 = (packed & 0xFF)[None, :]
+    y0 = ((packed >> 8) & 0xFF)[None, :]
+    x1 = ((packed >> 16) & 0xFF)[None, :]
+    y1 = ((packed >> 24) & 0xFF)[None, :]
+    return ((x0 <= x1)
+            & (x0 <= tx) & (x1 >= tx) & (y0 <= ty) & (y1 >= ty))
+
+
+def _dense_sorted_entries(aabb, valid, gaabb, gvalid, *, tiles_x: int,
+                          tiles_y: int, tile_w: int, tile_h: int):
+    """Packed-entry variant of _dense_sorted_hits for the stream kernels.
+
+    Returns (entry_sorted (n_tiles, T) i32, counts) where a live entry is
+    cid << ENTRY_SHIFT | gmask. With gaabb/gvalid (GROUP-granular boxes from
+    group_aabbs), gmask marks which sub-groups overlap the tile and entries
+    whose gmask would be 0 are dropped entirely — a strictly tighter bin
+    than the chunk-union test (the union box can overlap tiles that sit in
+    a gap between the member groups). Without them, every binned entry
+    carries ENTRY_GMASK_ALL (no skips, identical raster behavior).
+
+    The i16 sort fast path needs T * 16 + 15 < 32767, i.e. <= 2047 chunks
+    (~65k triangles at CHUNK=32); larger scenes pay an i32 row sort.
+    """
+    T = aabb.shape[0]
+    n_tiles = tiles_x * tiles_y
+    if gaabb is None:
+        packed = _pack_tile_aabb(aabb, tiles_x, tiles_y, tile_w, tile_h)
+        hit = valid[None, :] & _tile_overlap(packed, tiles_x, tiles_y)
+        gm = jnp.where(hit, jnp.int32(ENTRY_GMASK_ALL), 0)
+    else:
+        assert gaabb.shape[0] == T * N_GROUPS
+        pg = _pack_tile_aabb(gaabb, tiles_x, tiles_y, tile_w, tile_h)
+        pg = pg.reshape(T, N_GROUPS)
+        gv = gvalid.reshape(T, N_GROUPS)
+        gm = jnp.zeros((n_tiles, T), jnp.int32)
+        for g in range(N_GROUPS):
+            hg = gv[None, :, g] & _tile_overlap(pg[:, g], tiles_x, tiles_y)
+            gm = gm | (hg.astype(jnp.int32) << g)
+    hit = gm > 0
+    counts = jnp.sum(hit.astype(jnp.int32), axis=1)
+    if (T << ENTRY_SHIFT) + ENTRY_GMASK_ALL < 32767:
+        slot = jnp.arange(T, dtype=jnp.int16)[None, :] << ENTRY_SHIFT
+        key = jnp.where(hit, slot + gm.astype(jnp.int16), jnp.int16(32767))
+        return jax.lax.sort(key, dimension=1).astype(jnp.int32), counts
+    slot = jnp.arange(T, dtype=jnp.int32)[None, :] << ENTRY_SHIFT
+    key = jnp.where(hit, slot + gm, jnp.int32(1) << 30)
     return jax.lax.sort(key, dimension=1), counts
 
 
@@ -331,7 +414,7 @@ def bin_triangles(aabb, valid, *, tiles_x: int, tiles_y: int, tile_w: int,
     static_argnames=("tiles_x", "tiles_y", "tile_w", "tile_h"),
 )
 def bin_triangles_full(aabb, valid, *, tiles_x: int, tiles_y: int,
-                       tile_w: int, tile_h: int):
+                       tile_w: int, tile_h: int, gaabb=None, gvalid=None):
     """Dense binning with NO capacity: every (tile, item) overlap is kept.
 
     Same dense broadcast-overlap + row-wise-sort as bin_triangles, but the
@@ -343,18 +426,23 @@ def bin_triangles_full(aabb, valid, *, tiles_x: int, tiles_y: int,
     (vkCmdDrawIndexed, vk_engine.cpp:1453).
 
     Memory envelope: the dense bins are n_tiles x n_chunks i32 (+ the same
-    in sort keys, i16 under 32k chunks) — ~24 MB per million triangles at
+    in sort keys, i16 under 2047 chunks / ~65k tris since the gmask pack
+    took 4 key bits; i32 beyond) — ~24 MB per million triangles at
     1080p/32x128 tiles, HBM-resident through the slab walk. A 50M-triangle
     frame would reach ~1.2 GB; scenes of that class should raster through
     the capped bin_triangles + engine cap-escalation path instead
     (config.fused = False).
 
-    Returns (bins (n_tiles, Wp) i32 item ids padded with -1,
-             counts (n_tiles,) i32 — exact, never clamped).
+    gaabb/gvalid: optional group_aabbs output; adds real per-entry gmask
+    bits (and drops entries no group touches). Without them every entry
+    packs ENTRY_GMASK_ALL.
+
+    Returns (bins (n_tiles, Wp) i32 PACKED entries cid << 4 | gmask,
+             padded with -1; counts (n_tiles,) i32 — exact, never clamped).
     """
     T = aabb.shape[0]
-    key_sorted, counts = _dense_sorted_hits(
-        aabb, valid, tiles_x=tiles_x, tiles_y=tiles_y,
+    key_sorted, counts = _dense_sorted_entries(
+        aabb, valid, gaabb, gvalid, tiles_x=tiles_x, tiles_y=tiles_y,
         tile_w=tile_w, tile_h=tile_h)
     in_bin = jnp.arange(T, dtype=jnp.int32)[None, :] < counts[:, None]
     bins = jnp.where(in_bin, key_sorted, NO_TRI)
@@ -899,11 +987,14 @@ def _walk_bins_cols(counts_ref, bins_ref, rows_hbm, scratch_ref, sem_ref,
     """Walk a tile's column-major chunk bins, streaming the per-chunk
     fat-row DMA (HBM -> VMEM scratch) through an NBUF-slot rotating window
     (NBUF - 1 copies in flight ahead of the chunk being rasterized).
-    eval_entry(cid, base, carry) -> carry rasterizes one chunk staged at
+    eval_entry(entry, base, carry) -> carry rasterizes one chunk staged at
     scratch rows [base, base+stride) (stride = sublane rows per chunk
     block: CHUNK for full fat rows, 1 for the compact visibility rows).
+    Entries are PACKED (cid << ENTRY_SHIFT | gmask, see bin_triangles_full);
+    the walk decodes the cid for the DMA source and hands eval_entry/pred
+    the raw entry.
 
-    pred(cid) -> bool, if given, gates BOTH the copy start and the
+    pred(entry) -> bool, if given, gates BOTH the copy start and the
     wait+eval of an entry on the same deterministic predicate (it must
     depend only on kernel state that the walk never mutates — phase B's
     winner test reads phase A's tid input), so an entry whose copy was
@@ -926,7 +1017,7 @@ def _walk_bins_cols(counts_ref, bins_ref, rows_hbm, scratch_ref, sem_ref,
 
     def copy(g, l, slot):
         return pltpu.make_async_copy(
-            rows_hbm.at[bins_ref[0, g, l]],
+            rows_hbm.at[bins_ref[0, g, l] >> ENTRY_SHIFT],
             scratch_ref.at[pl.ds(slot * stride, stride)],
             sem_ref.at[slot])
 
@@ -968,12 +1059,12 @@ def _walk_bins_cols(counts_ref, bins_ref, rows_hbm, scratch_ref, sem_ref,
             if pred is None:
                 copy(g, l, slot).wait()
                 return eval_entry(bins_ref[0, g, l], slot * stride, carry)
-            cid = bins_ref[0, g, l]
+            entry = bins_ref[0, g, l]
 
-            @pl.when(pred(cid))
+            @pl.when(pred(entry))
             def _():
                 copy(g, l, slot).wait()
-                eval_entry(cid, slot * stride, carry)
+                eval_entry(entry, slot * stride, carry)
             return carry
 
         state = jax.lax.fori_loop(0, cnt, body, state)
@@ -1011,15 +1102,13 @@ def _chunks_stream_loop(counts_ref, bins_ref, rows_hbm,
     import os as _os
     _ABL = _os.environ.get("RASTER_ABLATION", "")
 
-    def eval_chunk(base, tid_base):
-        if _ABL == "walk":
-            z_ref[0:1, :] = jnp.full((1, z_ref.shape[1]),
-                                     scratch_ref[base, 0], jnp.float32)
-            return  # consume the DMA, no raster
+    def vis_group(base, tid_base, grp):
+        """Visibility planes for skip group grp: RMW z/tid through the
+        refs so groups compose sequentially (depth ties and later-wins
+        semantics identical to the old whole-chunk register chain)."""
         z = z_ref[:, :]
         tid = tid_ref[:, :]
-        takes = []
-        for t in range(CHUNK):
+        for t in range(grp * GROUP, (grp + 1) * GROUP):
             if _ABL == "consts":
                 # same vector work, zero scalar loads: isolates the cost
                 # of the per-coefficient scalar VMEM reads
@@ -1044,44 +1133,74 @@ def _chunks_stream_loop(counts_ref, bins_ref, rows_hbm,
             take = cov & (zv >= z)
             z = jnp.where(take, zv, z)
             tid = jnp.where(take, tid_base + t, tid)
-            takes.append(take)
-
         z_ref[:, :] = z
         tid_ref[:, :] = tid
 
-        group_any = takes[0]
-        for t in takes[1:]:
-            group_any = group_any | t
+    def attr_group(base, tid_base, tid, grp):
+        """Attribute planes for skip group grp. The winner test is
+        tid-equality against the post-chunk tid plane — bit-identical to
+        the old carried per-triangle takes (selects become disjoint; the
+        final value is the chunk's last winner either way) and it lets
+        each group's block RMW the refs independently."""
+        nums = [nums_ref[a, :, :] for a in range(N_NUMS)]
+        metas = [metas_ref[m, :, :] for m in range(N_SMETA)]
+        for t in range(grp * GROUP, (grp + 1) * GROUP):
+            if _ABL == "consts":
+                r = lambda col, _t=t: jnp.float32(0.001 * (col + _t + 1))  # noqa: E731
+            else:
+                r = lambda col, _t=t: scratch_ref[base + _t // ROW_TRIS, (_t % ROW_TRIS) * _HALF + col]  # noqa: E731
+            take = tid == (tid_base + t)
+            for a in range(N_NUMS):
+                num = r(13 + a) * X + r(19 + a) * Y + r(25 + a)
+                nums[a] = jnp.where(take, num, nums[a])
+            for m, col in enumerate(SMETA_COLS):
+                metas[m] = jnp.where(take, r(col), metas[m])
+        for a in range(N_NUMS):
+            nums_ref[a, :, :] = nums[a]
+        for m in range(N_SMETA):
+            metas_ref[m, :, :] = metas[m]
+
+    def eval_chunk(base, tid_base, gmask):
+        if _ABL == "walk":
+            z_ref[0:1, :] = jnp.full((1, z_ref.shape[1]),
+                                     scratch_ref[base, 0], jnp.float32)
+            return  # consume the DMA, no raster
+        # per-group visibility, skipped on the entry's gmask bit: the
+        # predicate is a SCALAR bit test (no vector->scalar reduce, no
+        # loads) — the first skip mechanism whose gate costs ~nothing
+        # (per-tri lax.cond and hierarchical-z paid for their predicates,
+        # docs/PERF.md).
+        if N_GROUPS == 1:
+            vis_group(base, tid_base, 0)
+        else:
+            for grp in range(N_GROUPS):
+                @pl.when(((gmask >> grp) & 1) != 0)
+                def _(grp=grp):
+                    vis_group(base, tid_base, grp)
 
         if _ABL == "vis":
             return
         # per-chunk attr skip measured: 12.5 FPS with vs 9.9 without
         # on the demo bench (whole chunks often miss a tile's pixels).
+        # Chunk coverage == any pixel whose winner id is in this chunk:
+        # bins walk in ascending cid order, so tid >= tid_base is exact.
         # Attributes interpolate as numerator PLANES (2 FMA each; folded
         # at setup, see shade.C_ATTR) — no dependence on the edge values,
         # so the visibility block's c planes are dead here (less VMEM
         # register pressure than the old c-weighted barycentric sums).
-        @pl.when(jnp.any(group_any))
-        def _():
-            nums = [nums_ref[a, :, :] for a in range(N_NUMS)]
-            metas = [metas_ref[m, :, :] for m in range(N_SMETA)]
-            for t in range(CHUNK):
-                if _ABL == "consts":
-                    r = lambda col, _t=t: jnp.float32(0.001 * (col + _t + 1))  # noqa: E731
-                else:
-                    r = lambda col, _t=t: scratch_ref[base + _t // ROW_TRIS, (_t % ROW_TRIS) * _HALF + col]  # noqa: E731
-                take = takes[t]
-                for a in range(N_NUMS):
-                    num = r(13 + a) * X + r(19 + a) * Y + r(25 + a)
-                    nums[a] = jnp.where(take, num, nums[a])
-                for m, col in enumerate(SMETA_COLS):
-                    metas[m] = jnp.where(take, r(col), metas[m])
-            for a in range(N_NUMS):
-                nums_ref[a, :, :] = nums[a]
-            for m in range(N_SMETA):
-                metas_ref[m, :, :] = metas[m]
+        tid = tid_ref[:, :]
 
-    def eval_entry(cid, base, carry):
+        @pl.when(jnp.any(tid >= tid_base))
+        def _():
+            if N_GROUPS == 1:
+                attr_group(base, tid_base, tid, 0)
+            else:
+                for grp in range(N_GROUPS):
+                    @pl.when(((gmask >> grp) & 1) != 0)
+                    def _(grp=grp):
+                        attr_group(base, tid_base, tid, grp)
+
+    def eval_entry(entry, base, carry):
         # global triangle ids are sequential within the chunk: compute
         # cid*CHUNK + t instead of loading+casting row column 47 (scalar
         # loads are not CSE'd — every column is loaded exactly once below)
@@ -1090,7 +1209,8 @@ def _chunks_stream_loop(counts_ref, bins_ref, rows_hbm,
         # per-chunk jnp.min(z) reduce — was measured a net LOSS on both the
         # demo and stress scenes: the reduce + branch overhead exceeds the
         # savings under this draw order. Eval unconditionally.)
-        eval_chunk(base, cid * CHUNK)
+        cid = entry >> ENTRY_SHIFT
+        eval_chunk(base, cid * CHUNK, entry & ENTRY_GMASK_ALL)
         return carry
 
     _walk_bins_cols(counts_ref, bins_ref, rows_hbm, scratch_ref,
@@ -1294,7 +1414,9 @@ def rasterize_fused_chunks(fat_rows, cbins, ccounts, *,
     T = fat_rows.shape[0]
     C = T // CHUNK
     rows64 = _prep_stream_rows(fat_rows)
-    bins3 = _pack_bins_cols(jnp.clip(cbins, 0, C - 1))
+    # capped bins carry raw chunk ids: pack with an all-live gmask
+    bins3 = _pack_bins_cols(
+        (jnp.clip(cbins, 0, C - 1) << ENTRY_SHIFT) | ENTRY_GMASK_ALL)
     state = _stream_slab_call(ccounts, bins3, rows64, None,
                               tiles_x=tiles_x, tiles_y=tiles_y,
                               tile_w=tile_w, tile_h=tile_h)
@@ -1327,7 +1449,10 @@ def _for_each_slab(bins_full, counts, C, slab_cap, run_first, run_next):
         sbins = bins_full if slab_cap == width else bins_full[:, s:s + slab_cap]
         scounts = counts if slab_cap == width \
             else jnp.clip(counts - s, 0, sbins.shape[1])
-        bins3 = _pack_bins_cols(jnp.clip(sbins, 0, C - 1))
+        # entries are packed cid << ENTRY_SHIFT | gmask; clip keeps the
+        # decoded DMA index in [0, C) for padding/sentinel slots
+        bins3 = _pack_bins_cols(
+            jnp.clip(sbins, 0, (C << ENTRY_SHIFT) - 1))
         if state is None:
             state = run_first(scounts, bins3)
         else:
@@ -1526,7 +1651,8 @@ def _accum_chunks_kernel(counts_ref, light_ref, bins_ref, rows_hbm,
     X, Y = _tile_coords(i, j, tile_h, tile_w)
     zbase = zbase_ref[:, :]
 
-    def eval_entry(cid, base, carry):
+    def eval_entry(entry, base, carry):
+        del entry  # accum needs no ids; coeffs come from the staged rows
         ar, ag, ab, cnt = carry
 
         takes = []
@@ -1597,7 +1723,8 @@ def rasterize_accum_chunks(fat_rows, cbins, ccounts, z_base, light, *,
     """
     C = fat_rows.shape[0] // CHUNK
     rows64 = _prep_stream_rows(fat_rows)
-    bins3 = _pack_bins_cols(jnp.clip(cbins, 0, C - 1))
+    bins3 = _pack_bins_cols(
+        (jnp.clip(cbins, 0, C - 1) << ENTRY_SHIFT) | ENTRY_GMASK_ALL)
     return _accum_slab_call(ccounts, light, bins3, rows64, z_base,
                             tiles_x=tiles_x, tiles_y=tiles_y,
                             tile_w=tile_w, tile_h=tile_h)
@@ -1807,10 +1934,10 @@ def _peel_stream_loop(counts_ref, bins_ref, rows_hbm, scratch_ref, sem_ref,
     tile = i * tiles_x + j
     X, Y = _tile_coords(i, j, tile_h, tile_w)
 
-    def eval_entry(cid, base, carry):
+    def eval_entry(entry, base, carry):
         best, nums, metas = carry
 
-        tid_base = cid * CHUNK
+        tid_base = (entry >> ENTRY_SHIFT) * CHUNK
         takes = []
         for t in range(CHUNK):
             r = lambda col, _t=t: scratch_ref[base + _t // ROW_TRIS, (_t % ROW_TRIS) * _HALF + col]  # noqa: E731

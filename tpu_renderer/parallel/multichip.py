@@ -210,9 +210,10 @@ def render_frame_multichip(buffers: SceneBuffers, params: FrameParams, *,
                 aabb_s, valid_s, rows_l = raster.spatial_sort(
                     aabb_l, valid_l, rows_l)
                 caabb, cvalid = raster.chunk_aabbs(aabb_s, valid_s)
+                gaabb, gvalid = raster.group_aabbs(aabb_s, valid_s)
                 cbins, ccounts = raster.bin_triangles_full(
                     caabb, cvalid, tiles_x=tiles_x, tiles_y=tiles_y_band,
-                    tile_w=tile_w, tile_h=tile_h)
+                    tile_w=tile_w, tile_h=tile_h, gaabb=gaabb, gvalid=gvalid)
                 return (None, aabb_l, rows_l, cbins, ccounts, valid_l,
                         jnp.int32(0))
             setup = vertex.triangle_setup(

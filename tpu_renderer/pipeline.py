@@ -212,9 +212,13 @@ def render_frame(buffers: SceneBuffers, params: FrameParams, *,
             # (vkCmdDrawIndexed, vk_engine.cpp:1453).
             overflow_c = jnp.int32(0)
             overflow_t = jnp.int32(0)
+            # GROUP-granular boxes ride the bin entries as a gmask: the
+            # stream kernel skips dead sub-groups on a free scalar bit test
+            # and entries no group touches are never binned at all
+            gaabb, gvalid = raster.group_aabbs(aabb_s, valid_s)
             cbins_full, ccounts = raster.bin_triangles_full(
                 caabb, cvalid, tiles_x=tiles_x, tiles_y=tiles_y,
-                tile_w=tile_w, tile_h=tile_h)
+                tile_w=tile_w, tile_h=tile_h, gaabb=gaabb, gvalid=gvalid)
             z, tid, attrs_px, meta_px, inv_px = raster.rasterize_fused_slabs(
                 rows, cbins_full, ccounts,
                 tiles_x=tiles_x, tiles_y=tiles_y, tile_w=tile_w, tile_h=tile_h)
@@ -278,9 +282,11 @@ def render_frame(buffers: SceneBuffers, params: FrameParams, *,
             aabb_ta, valid_ta, rows_ta = raster.spatial_sort(
                 t_aabb, t_valid, rows_t)
             caabb_ta, cvalid_ta = raster.chunk_aabbs(aabb_ta, valid_ta)
+            gaabb_ta, gvalid_ta = raster.group_aabbs(aabb_ta, valid_ta)
             cbins_tf, ccounts_tf = raster.bin_triangles_full(
                 caabb_ta, cvalid_ta, tiles_x=tiles_x, tiles_y=tiles_y,
-                tile_w=tile_w, tile_h=tile_h)
+                tile_w=tile_w, tile_h=tile_h,
+                gaabb=gaabb_ta, gvalid=gvalid_ta)
             light = jnp.concatenate([
                 params.sun_dir[:3], params.sun_color[3:4],
                 params.ambient[:3], jnp.zeros(1, jnp.float32)])
@@ -306,9 +312,13 @@ def render_frame(buffers: SceneBuffers, params: FrameParams, *,
                 # this path can't overflow either (nothing in the renderer
                 # has a triangle capacity any more)
                 overflow_tc = overflow_tt = jnp.int32(0)
+                # peel kernels don't group-skip, but the gmask bins still
+                # drop entries no GROUP-box touches (a strictly tighter bin)
+                gaabb_t, gvalid_t = raster.group_aabbs(t_aabb, t_valid)
                 cbins_tf, ccounts_tf = raster.bin_triangles_full(
                     caabb_t, cvalid_t, tiles_x=tiles_x, tiles_y=tiles_y,
-                    tile_w=tile_w, tile_h=tile_h)
+                    tile_w=tile_w, tile_h=tile_h,
+                    gaabb=gaabb_t, gvalid=gvalid_t)
             else:
                 tbin_cap = min(bin_cap, max(tt // raster.CHUNK, 1))
                 cbins_t, ccounts_t, overflow_tc = raster.bin_triangles(
