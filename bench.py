@@ -26,6 +26,7 @@ def _run() -> int:
 
     from tpu_renderer.config import RendererConfig
     from tpu_renderer.engine import Engine
+    from tpu_renderer.kernels import raster as raster_mod
     from tpu_renderer.utils.demo import build_demo_glb
 
     width, height = 1920, 1080
@@ -108,6 +109,24 @@ def _run() -> int:
                 trilinear=True, pot=eng_t._pot)
     fps_tri, _img_t = scan_fps(eng_t, kw_t)
 
+    # Auto-quality variant: the SAME stock-sampler (trilinear) scene with
+    # config.target_fps=60 — the engine predicts the 2-tap frame is over
+    # budget at native extent (measured cost model, docs/PERF.md) and
+    # auto-engages the render-scale lever; this is what a stock glTF file
+    # gets as PRODUCT behavior rather than a hand-picked flag.
+    import dataclasses
+
+    eng_a = Engine(dataclasses.replace(cfg, target_fps=60.0))
+    eng_a.camera.pitch = np.float32(-0.18)
+    eng_a.init(scene_path=tri_path)
+    auto_scale = eng_a._auto_scale
+    auto_ext = eng_a._extents()
+    kw_a = {k: v for k, v in kw.items()
+            if k not in ("width", "height", "out_width", "out_height")}
+    kw_a.update(auto_ext, transp_textured=eng_a._transp_textured(),
+                trilinear=True, pot=eng_a._pot)
+    fps_tri_auto, _img_a = scan_fps(eng_a, kw_a)
+
     # Stress variant: ~4x the triangle load (184k visible tris at grid 128)
     # — the scaling axis the reference's hardware raster is indifferent to
     # (vk_engine.cpp:1453), measured end-to-end and driver-visible.
@@ -159,15 +178,23 @@ def _run() -> int:
     eng._update_stats(eng._last_aux)
 
     fps = frames / dt
+    backend = jax.default_backend()
     result = {
-        "metric": "fps_1080p_gltf_scene",
+        # a mis-provisioned (non-TPU) run must not record a number that
+        # reads as the 1080p TPU metric: distinct name + top-level backend
+        "metric": ("fps_1080p_gltf_scene" if backend == "tpu"
+                   else "fps_cpu_fallback_smoke"),
         "value": round(fps, 2),
         "unit": "frames/sec",
         "vs_baseline": round(fps / 60.0, 3),
+        "backend": backend,
         "detail": {
             "frame_ms": round(1000 * dt / frames, 2),
             "trilinear_fps": round(fps_tri, 2),
             "trilinear_frame_ms": round(1000 / fps_tri, 2),
+            # stock trilinear content under target_fps=60 auto quality
+            "trilinear_auto_fps": round(fps_tri_auto, 2),
+            "trilinear_auto_scale": auto_scale,
             "stress_fps": round(fps_stress, 2),
             "stress_frame_ms": round(1000 / fps_stress, 2),
             "stress_triangles": stress_tris,
@@ -184,6 +211,17 @@ def _run() -> int:
             "drawcalls": eng.stats.drawcall_count,
             "render_scale": scale,
             "resolution": f"{width}x{height}",
+            # engaged static specializations, so round-over-round numbers
+            # are self-describing (headline scene: mip-nearest POT textures
+            # -> single-tap sampler + AND-wrap; trilinear variant pays both
+            # mip taps)
+            "statics": {
+                "fused": eng._fused, "trilinear": eng._trilinear,
+                "pot": eng._pot,
+                "transp_textured": eng._transp_textured(),
+                "raster_chunk": raster_mod.CHUNK,
+                "raster_sort": os.environ.get("RASTER_SORT", "hilbert"),
+            },
         },
     }
     print(json.dumps(result))

@@ -317,3 +317,46 @@ def test_dense_bin_guard_picks_bounded_path(tmp_path):
     assert not eng2._fused  # guard tripped: bounded deferred path
     img = eng2.draw()
     assert img.shape == (64, 256, 4) and img.dtype == np.uint8
+
+
+def test_auto_quality_target_fps(tmp_path):
+    """config.target_fps: the measured cost model engages render scale for
+    scenes predicted over budget (stock trilinear glTF content at 1080p),
+    leaves cheap scenes at native extent, and the scaled draw still emits
+    the full window extent (upscale blit)."""
+    path = str(tmp_path / "tri_scene.glb")
+    build_demo_glb(path, grid=2, trilinear=True)
+
+    # stock (trilinear-sampler) content at 1080p: 2 taps/px is over a 60
+    # FPS budget at native extent -> a scale < 1 engages
+    cfg = RendererConfig(width=1920, height=1080, target_fps=60.0,
+                         camera_position=(0.0, 2.0, 12.0))
+    eng = Engine(cfg)
+    eng.init(scene_path=path)
+    assert eng._trilinear and eng._scene_taps() == 2
+    assert cfg.auto_scale_min <= eng._auto_scale < 1.0
+    ext = eng._extents()
+    assert ext["out_width"] == 1920 and ext["width"] < 1920
+    # no target -> native extent regardless of cost
+    eng2 = Engine(RendererConfig(width=1920, height=1080,
+                                 camera_position=(0.0, 2.0, 12.0)))
+    eng2.init(scene_path=path)
+    assert eng2._auto_scale == 1.0 and eng2._extents() == {
+        "width": 1920, "height": 1080}
+
+    # a scene under budget keeps native extent even WITH a target
+    cfg3 = RendererConfig(width=256, height=64, target_fps=60.0,
+                          camera_position=(0.0, 2.0, 12.0))
+    eng3 = Engine(cfg3)
+    eng3.init(scene_path=path)
+    assert eng3._auto_scale == 1.0
+
+    # end-to-end: an impossible target floors at auto_scale_min and the
+    # draw still returns the window extent
+    cfg4 = RendererConfig(width=256, height=64, target_fps=10000.0,
+                          camera_position=(0.0, 2.0, 12.0))
+    eng4 = Engine(cfg4)
+    eng4.init(scene_path=path)
+    assert eng4._auto_scale == cfg4.auto_scale_min
+    img = eng4.draw()
+    assert img.shape == (64, 256, 4) and img.dtype == np.uint8

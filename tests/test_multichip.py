@@ -122,6 +122,47 @@ def test_multichip_textured_transparent_unbounded(fused):
     assert diff.max() <= 1, f"max u8 diff {diff.max()}"
 
 
+@pytest.mark.parametrize(
+    "fused", [pytest.param(True, marks=pytest.mark.slow), False])
+def test_multichip_stacked_textured_transparent(fused):
+    """3 stacked TEXTURED transparent layers: the global-order peel must
+    composite + fp16-quantize PER LAYER exactly like the single-chip loop
+    (pipeline.py one_peel) — the divergent regime round 4 left untested
+    (per-layer vs once-at-the-end quantization)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough devices")
+    import tpu_renderer.scene as sm
+
+    tex = np.full((4, 4, 4), 255, np.uint8)
+    tex[..., 0] = 96
+    tex[1::2, ::2, 1] = 40
+    scene = milestones.textured_quad_scene(tex, nearest=True, mipmapped=False)
+    scene.materials[-1].transparent = True
+    # fractional color factors make every peel's blend land between fp16
+    # lattice points, so a once-at-the-end quantization CANNOT hide
+    scene.materials[-1].color_factors = np.asarray(
+        [0.3, 0.21, 0.17, 1.0], np.float32)
+    for k in range(2):
+        node = sm.MeshNode(0, f"l{k}")
+        node.refresh_transform(np.eye(4, dtype=np.float32))
+        scene.nodes.append(node)
+        scene.top_nodes.append(node)
+    flat = flatten_scene(scene, mipmapped=False)
+    params = _params(bg_data1=jnp.asarray([0.3, 0.3, 0.3, 1.0], jnp.float32),
+                     bg_data2=jnp.asarray([0.3, 0.3, 0.3, 1.0], jnp.float32))
+    single, aux1 = render_frame(flat.buffers, params, width=W, height=H,
+                                bin_cap=128, transp_textured=True,
+                                fused=fused)
+    mesh = make_mesh(2, 2)
+    multi, aux2 = render_frame_multichip(flat.buffers, params, mesh=mesh,
+                                         width=W, height=H,
+                                         bin_cap=128, transp_textured=True,
+                                         fused=fused)
+    assert int(aux1["transparent_layers"]) == 3
+    assert int(aux2["transparent_layers"]) == 3
+    np.testing.assert_array_equal(np.asarray(multi), np.asarray(single))
+
+
 def _trilinear_textured_scene():
     from tpu_renderer import resources, scene as sm
 
@@ -174,10 +215,14 @@ def test_multichip_render_scale_out_extent():
     np.testing.assert_array_equal(np.asarray(multi), np.asarray(single))
 
 
-def test_engine_multichip_product_path(tmp_path):
+@pytest.mark.parametrize(
+    "fused", [pytest.param(True, marks=pytest.mark.slow), False])
+def test_engine_multichip_product_path(tmp_path, fused):
     """Engine(config.multichip) routes draw() through the sharded renderer
     and matches the single-chip engine pixel-exactly — on a scene the
-    camera actually sees, so the live psum'd aux counters are exercised."""
+    camera actually sees, so the live psum'd aux counters are exercised.
+    fused=True is the production default: the full product stack
+    (Engine -> caps/statics -> fused sharded slab render -> stats)."""
     from tpu_renderer.config import RendererConfig
     from tpu_renderer.engine import Engine
     from tpu_renderer.utils.demo import build_demo_glb
@@ -186,7 +231,7 @@ def test_engine_multichip_product_path(tmp_path):
         pytest.skip("not enough devices")
     path = str(tmp_path / "scene.glb")
     build_demo_glb(path, grid=2)
-    base = dict(width=W, height=H, fused=False,
+    base = dict(width=W, height=H, fused=fused,
                 camera_position=(0.0, 2.0, 12.0))
     eng1 = Engine(RendererConfig(**base))
     eng1.init(scene_path=path)

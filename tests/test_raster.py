@@ -5,6 +5,7 @@ semantics, and binned-vs-full-bin equivalence.
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tpu_renderer.kernels import raster
 from tpu_renderer.kernels.vertex import triangle_setup
@@ -154,3 +155,49 @@ def test_binned_matches_full():
     )
     np.testing.assert_array_equal(np.asarray(tid_b), np.asarray(tid_full))
     np.testing.assert_allclose(np.asarray(z_b), np.asarray(z_full), atol=1e-6)
+
+
+def test_kernel_knob_config_roundtrip():
+    """config.py is the single source of truth for the kernel knobs;
+    RASTER_* env vars OVERRIDE it (conftest pins RASTER_CHUNK=8 for the CPU
+    tier — applying the production config must not displace that)."""
+    from tpu_renderer.config import RendererConfig
+
+    assert raster.CHUNK == 8  # the conftest env override is active here
+    cfg = RendererConfig()
+    assert cfg.raster_chunk == 32  # production default
+    raster.configure(chunk=cfg.raster_chunk, group=cfg.raster_group,
+                     nbuf=cfg.raster_nbuf, sort=cfg.raster_sort)
+    assert raster.CHUNK == 8, "env override must win over config"
+    assert raster.GROUP == min(cfg.raster_group, raster.CHUNK)
+    assert raster.N_GROUPS * raster.GROUP == raster.CHUNK
+    assert raster.ENTRY_GMASK_ALL == (1 << raster.N_GROUPS) - 1
+
+
+@pytest.mark.slow
+def test_kernel_knob_config_applies_without_env():
+    """Without the env override, raster.configure takes the config value
+    (subprocess: the conftest env must not leak in)."""
+    import subprocess
+    import sys
+
+    code = (
+        "import os\n"
+        "for k in ('RASTER_CHUNK', 'RASTER_GROUP', 'RASTER_NBUF',"
+        " 'RASTER_SORT'):\n"
+        "    os.environ.pop(k, None)\n"
+        "os.environ['JAX_PLATFORMS'] = 'cpu'\n"
+        "from tpu_renderer.kernels import raster\n"
+        "assert raster.CHUNK == 32, raster.CHUNK\n"
+        "raster.configure(chunk=16, group=4, nbuf=2, sort='morton')\n"
+        "assert raster.CHUNK == 16 and raster.STREAM_ROWS == 8\n"
+        "assert raster.GROUP == 4 and raster.N_GROUPS == 4\n"
+        "assert raster.NBUF == 2 and raster.SORT_MODE == 'morton'\n"
+        "print('ok')\n"
+    )
+    env = {k: v for k, v in __import__('os').environ.items()
+           if not k.startswith('RASTER_')}
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "ok" in out.stdout

@@ -60,6 +60,23 @@ def bin_set(aabb, valid, rows, sort):
     return rows, bins, counts
 
 
+def live_eval_stats(aabb, valid, bins):
+    """Dead-eval instrumentation (docs/PERF.md 'live fraction'): of the
+    per-triangle visibility evals the stream kernel actually runs (GROUP
+    triangles per set gmask bit per bin entry), what fraction land on
+    triangles whose OWN AABB overlaps the tile? The complement is the
+    dead-eval headroom the finer-GROUP / second-level-skip levers chase."""
+    gm = jnp.where(bins >= 0, bins & raster.ENTRY_GMASK_ALL, 0)
+    pop = jnp.zeros_like(gm)
+    for g in range(raster.N_GROUPS):
+        pop = pop + ((gm >> g) & 1)
+    evals = int((pop * raster.GROUP).sum())
+    packed = raster._pack_tile_aabb(aabb, TX, TY, TILE_W, TILE_H)
+    hit = valid[None, :] & raster._tile_overlap(packed, TX, TY)
+    live = int(hit.sum())
+    return live, evals
+
+
 def time_variant(fn, iters=30):
     r = fn()
     jax.block_until_ready(r)
@@ -78,7 +95,15 @@ def main():
     tag = os.environ.get("AB_TAG", "?")
     for grid, label in [(64, "demo"), (128, "stress")]:
         aabb, valid, rows0 = setup_scene(grid)
+        if hasattr(raster, "spatial_sort"):
+            aabb_s, valid_s, _ = raster.spatial_sort(aabb, valid, rows0)
+        else:
+            aabb_s, valid_s = aabb, valid
         rows, bins, counts = bin_set(aabb, valid, rows0, True)
+        live, evals = live_eval_stats(aabb_s, valid_s, bins)
+        print(f"[{tag}][{label}] GROUP={raster.GROUP} "
+              f"evals={evals} live={live} "
+              f"live_frac={live / max(evals, 1):.3f}", flush=True)
         for name, jit in jits.items():
             t = time_variant(lambda: jit(rows, bins, counts))
             print(f"[{tag}][{label} sorted] {name}={t:.2f} ms", flush=True)

@@ -35,6 +35,11 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--render-scale", type=float, default=1.0,
                    help="draw-extent scale; <1 renders fewer pixels and "
                         "linear-blits up (vk_engine.cpp:1220-1222 made live)")
+    p.add_argument("--target-fps", type=float, default=None,
+                   help="auto quality: engage the render-scale lever when "
+                        "the measured cost model predicts the scene misses "
+                        "this target at native extent (stock glTF files "
+                        "default to trilinear samplers — the 2-tap wall)")
     p.add_argument("--multichip", default=None, metavar="ROWSxTRI",
                    help="shard the frame over a ROWSxTRI device mesh "
                         "(e.g. 2x4): framebuffer row bands over 'rows', "
@@ -60,6 +65,7 @@ def _make_engine(args, camera_default=(30.0, 0.0, -85.0)) -> Engine:
                          camera_position=cam,
                          background_effect=args.background,
                          render_scale=getattr(args, "render_scale", 1.0),
+                         target_fps=getattr(args, "target_fps", None),
                          multichip=_parse_multichip(args))
     eng = Engine(cfg)
     eng.camera.yaw = np.float32(args.yaw)

@@ -84,6 +84,42 @@ class RendererConfig:
     # Engine.init bootstraps a virtual CPU mesh (ensure_devices).
     multichip: Tuple[int, int] | None = None
 
+    # --- Raster kernel knobs (ours; see kernels/raster.py) ---
+    # Production values, applied process-wide by Engine via
+    # raster.configure(). The RASTER_CHUNK / RASTER_GROUP / RASTER_NBUF /
+    # RASTER_SORT env vars OVERRIDE these for A/B measurement and the CPU
+    # test tier (tests/conftest.py pins RASTER_CHUNK=8 there). The knobs
+    # compile into kernel unrolls and HBM chunk-block shapes, so mixing two
+    # values of one knob in a process is unsupported.
+    # raster_chunk: triangles per binning chunk / DMA block (swept: 32 best
+    # on both bench scenes — raster.py CHUNK comment).
+    raster_chunk: int = 32
+    # raster_group: triangles per gmask skip group (the per-entry dead-eval
+    # skip granularity; chunk/group <= 8 groups must hold).
+    raster_group: int = 8
+    # raster_nbuf: chunk-stream scratch slots (power of 2; NBUF-1 DMA copies
+    # in flight — swept 2/4/8, 4 optimal).
+    raster_nbuf: int = 4
+    # raster_sort: screen-space spatial sort key (hilbert | morton | band |
+    # bandserp; hilbert measured best — docs/PERF.md "key evolution").
+    raster_sort: str = "hilbert"
+
+    # --- Auto quality (ours) ---
+    # target_fps: when set, the engine auto-engages the render-scale lever
+    # for scenes the measured per-pixel cost model predicts are over budget
+    # at the native extent — the product answer for stock glTF content,
+    # whose DEFAULT samplers are trilinear (the reference loader's
+    # extract_mipmap_mode falls back to LINEAR, vk_loader.cpp:43-54) and
+    # therefore pay both mip-tap gathers per pixel (the measured 2-tap
+    # wall, docs/PERF.md). The engine picks the LARGEST scale in
+    # [auto_scale_min, render_scale] predicted to hit target_fps
+    # (Engine._pick_auto_scale); scenes already under budget render at the
+    # native extent unchanged. None = always render at render_scale.
+    target_fps: float | None = None
+    # Floor for the auto-picked scale (0.5 = quarter pixel cost; below that
+    # the upscale blit visibly softens 1080p output).
+    auto_scale_min: float = 0.5
+
     # --- Render scale (vk_engine.cpp:1220-1222) ---
     # The reference computes _draw_extent from _render_scale and then
     # overwrites it (dead code, vk_engine.cpp:1251-1252); here the knob is

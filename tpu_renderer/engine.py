@@ -45,6 +45,12 @@ class EngineStats:
 class Engine:
     def __init__(self, config: Optional[RendererConfig] = None):
         self.config = config or RendererConfig()
+        # kernel knobs: config.py is the source of truth; RASTER_* env vars
+        # override inside configure() (A/B measurement, CPU test tier)
+        raster.configure(chunk=self.config.raster_chunk,
+                         group=self.config.raster_group,
+                         nbuf=self.config.raster_nbuf,
+                         sort=self.config.raster_sort)
         self.stats = EngineStats()
         self.camera = Camera(position=self.config.camera_position,
                              speed=self.config.camera_speed)
@@ -125,6 +131,56 @@ class Engine:
         # planes (bit-identical results; shade._level_coords)
         dims = mm[:, 2:4].astype(np.int64)
         self._pot = bool(np.all((dims > 0) & ((dims & (dims - 1)) == 0)))
+        # auto quality (config.target_fps): pick the render scale the
+        # measured cost model predicts hits the target on THIS scene
+        self._auto_scale = self._pick_auto_scale()
+        if self._auto_scale < 1.0:
+            logger.info(
+                "auto quality: predicted %.1f ms/frame at native extent > "
+                "%.1f ms budget — engaging render scale %.2f",
+                self._predict_frame_ms(1.0), 1000.0 / self.config.target_fps,
+                self._auto_scale)
+
+    # Measured v5e per-pixel cost model (docs/PERF.md: shade-stage
+    # decomposition + gather cost model; re-fit round 5 on the bench
+    # scenes): frame_ms(s) = fixed + Mpx*s^2*(base + taps*tap) + blit.
+    #   _COST_TAP_NS:   one mip-tap gather ~4.6 ns/px (the 6.5 MB-atlas
+    #                   issue-rate floor; trilinear pays 2 taps — the wall)
+    #   _COST_BASE_NS:  raster + shade math + transparency + present ~3 ns/px
+    #   _COST_FIXED_MS: setup + sort + bin (pixel-independent)
+    #   _COST_BLIT_MS:  the linear upscale blit when s < 1
+    _COST_BASE_NS = 3.0
+    _COST_TAP_NS = 4.6
+    _COST_FIXED_MS = 1.5
+    _COST_BLIT_MS = 1.3
+
+    def _scene_taps(self) -> int:
+        """Mip-tap gathers per textured pixel on this scene's hot path."""
+        if self._trilinear:
+            return 2
+        mm = np.asarray(self.flat.buffers.mat_meta)
+        return 1 if bool(np.any(mm[:, 4] >= 1)) else 0
+
+    def _predict_frame_ms(self, s: float) -> float:
+        cfg = self.config
+        mpx = cfg.width * cfg.height / 1e6
+        t = (self._COST_FIXED_MS
+             + mpx * s * s * (self._COST_BASE_NS
+                              + self._scene_taps() * self._COST_TAP_NS))
+        return t + (self._COST_BLIT_MS if s < 1.0 else 0.0)
+
+    def _pick_auto_scale(self) -> float:
+        """Largest render scale in [auto_scale_min, 1] the cost model
+        predicts hits config.target_fps (1.0 when no target is set or the
+        native extent is already under budget)."""
+        cfg = self.config
+        if cfg.target_fps is None:
+            return 1.0
+        budget_ms = 1000.0 / cfg.target_fps
+        s = 1.0
+        while s > cfg.auto_scale_min and self._predict_frame_ms(s) > budget_ms:
+            s = round(s - 0.05, 2)
+        return max(s, cfg.auto_scale_min)
 
     # -- per-frame ------------------------------------------------------------
 
@@ -228,9 +284,13 @@ class Engine:
     def _extents(self) -> dict:
         """Render + output extents: render_scale shrinks the draw extent and
         the frame upscale-blits to the window extent (the reference's
-        _render_scale path made live, vk_engine.cpp:1220-1222)."""
+        _render_scale path made live, vk_engine.cpp:1220-1222). With
+        config.target_fps set, the auto-quality scale (never above the
+        configured render_scale) applies instead."""
         cfg = self.config
         s = cfg.render_scale
+        if cfg.target_fps is not None:
+            s = min(s, getattr(self, "_auto_scale", 1.0))
         if s == 1.0:
             return dict(width=cfg.width, height=cfg.height)
         # derive the height from the EFFECTIVE width scale so non-round
@@ -257,12 +317,19 @@ class Engine:
         params = self.update_scene()
         image, aux = self.draw_device(params)
         if with_stats:
-            for _ in range(4):
-                caps = dict(self._caps)
-                self._update_stats(aux)  # escalates caps on overflow
-                if self._caps == caps:
-                    break
-                image, aux = self.draw_device(params)
+            if self._fused:
+                # fused slab bins are uncapped: overflow is structurally
+                # impossible, so ONE batched counter fetch suffices (the
+                # escalation loop below would re-fetch aux up to 4x per draw
+                # for nothing — a tunnel round trip each)
+                self._update_stats(aux)
+            else:
+                for _ in range(4):
+                    caps = dict(self._caps)
+                    self._update_stats(aux)  # escalates caps on overflow
+                    if self._caps == caps:
+                        break
+                    image, aux = self.draw_device(params)
         from tpu_renderer.present import unpack_u8
 
         out = unpack_u8(np.asarray(image))

@@ -65,6 +65,8 @@ STREAM_ROWS = CHUNK // ROW_TRIS  # sublane rows per chunk block
 _HALF = ROW_PAD // ROW_TRIS
 _CHUNK_SHIFT = CHUNK.bit_length() - 1
 assert (1 << _CHUNK_SHIFT) == CHUNK  # tid >> shift == chunk id
+# screen-space triangle sort key (see spatial_sort); RASTER_SORT env wins
+SORT_MODE = "hilbert"
 
 # gmask skip groups: dense-bin entries carry a per-(tile, chunk) bitmask of
 # which GROUP-triangle sub-blocks' AABB unions actually overlap the tile
@@ -75,11 +77,47 @@ assert (1 << _CHUNK_SHIFT) == CHUNK  # tid >> shift == chunk id
 # hierarchical-z: see docs/PERF.md). Entries whose gmask is 0 (the chunk
 # union box overlaps the tile but no member group does) are dropped at bin
 # time for free.
-GROUP = min(8, CHUNK)      # triangles per skip group
-N_GROUPS = CHUNK // GROUP  # 4 at the production CHUNK=32
-assert N_GROUPS * GROUP == CHUNK and N_GROUPS <= 4
-ENTRY_SHIFT = 4            # bins entries: cid << 4 | gmask
+GROUP = int(_os_mod.environ.get("RASTER_GROUP", str(min(8, CHUNK))))
+N_GROUPS = CHUNK // GROUP  # 4 at the production CHUNK=32 / GROUP=8
+assert N_GROUPS * GROUP == CHUNK and N_GROUPS <= 8
+# bins entries: cid << ENTRY_SHIFT | gmask. 4 bits hold the default 4-group
+# mask; finer GROUP granularities (N_GROUPS up to 8) widen to 8 — which
+# pushes the bin sort keys past i16 beyond 127 chunks (_dense_sorted_entries)
+ENTRY_SHIFT = 4 if N_GROUPS <= 4 else 8
 ENTRY_GMASK_ALL = (1 << N_GROUPS) - 1  # "every group live" (unpacked bins)
+
+
+def configure(*, chunk=None, group=None, nbuf=None, sort=None):
+    """Apply kernel knobs from RendererConfig (config.py is the single
+    source of truth for production values; the RASTER_* env vars WIN over
+    config for A/B measurement and the CPU test tier — tests/conftest.py
+    pins RASTER_CHUNK=8 there).
+
+    Must run before the first render trace: the knobs are compiled into
+    kernel unrolls and HBM chunk-block shapes, so mixing two values of the
+    same knob in one process is unsupported.
+    """
+    global CHUNK, STREAM_ROWS, _CHUNK_SHIFT, GROUP, N_GROUPS
+    global ENTRY_SHIFT, ENTRY_GMASK_ALL, NBUF, SORT_MODE
+    env = _os_mod.environ
+    if chunk is not None and "RASTER_CHUNK" not in env:
+        CHUNK = int(chunk)
+        STREAM_ROWS = CHUNK // ROW_TRIS
+        _CHUNK_SHIFT = CHUNK.bit_length() - 1
+        assert (1 << _CHUNK_SHIFT) == CHUNK
+    if group is not None and "RASTER_GROUP" not in env:
+        GROUP = min(int(group), CHUNK)
+    else:
+        GROUP = min(GROUP, CHUNK)  # keep GROUP <= a reconfigured CHUNK
+    N_GROUPS = CHUNK // GROUP
+    assert N_GROUPS * GROUP == CHUNK and N_GROUPS <= 8
+    ENTRY_SHIFT = 4 if N_GROUPS <= 4 else 8
+    ENTRY_GMASK_ALL = (1 << N_GROUPS) - 1
+    if nbuf is not None and "RASTER_NBUF" not in env:
+        NBUF = int(nbuf)
+        assert NBUF & (NBUF - 1) == 0
+    if sort is not None and "RASTER_SORT" not in env:
+        SORT_MODE = str(sort)
 
 _FLT_MIN = 1.17549435e-38  # smallest NORMAL f32 (Python float: Pallas
 #                            kernels may not capture array constants)
@@ -197,7 +235,7 @@ def spatial_sort(aabb, valid, *payloads):
     """
     y0 = jnp.floor(aabb[:, 1]).astype(jnp.int32)
     x0 = jnp.floor(aabb[:, 0]).astype(jnp.int32)
-    _mode = _os_mod.environ.get("RASTER_SORT", "hilbert")
+    _mode = _os_mod.environ.get("RASTER_SORT", SORT_MODE)
     if _mode.startswith("morton"):
         shift = int(_mode[6:] or 3)  # morton / morton2 / morton4 ...
         def _spread(v):  # 12 -> 24 bit spread (x|y cells up to 4096)
@@ -1637,11 +1675,17 @@ def _accum_chunks_kernel(counts_ref, light_ref, bins_ref, rows_hbm,
                          zbase_ref, acc_ref, cnt_ref, scratch_ref, sem_ref, *,
                          tiles_x: int, tile_h: int, tile_w: int):
     """Chunk-streaming variant of _accum_fused_kernel: fat rows DMA from HBM
-    per binned chunk (see _raster_chunks_kernel)."""
+    per binned chunk (see _raster_chunks_kernel).
+
+    Accumulation state (acc rgb, cnt) lives in the VMEM out refs and is
+    read-modify-written per GROUP-triangle skip group, gated on the entry's
+    gmask bit — the same free scalar-bit skip the opaque stream kernel uses
+    (groups whose AABB misses the tile never run their visibility ALU).
+    Per-pixel additions keep ascending-triangle order, so results stay
+    bit-identical to the old whole-chunk carried chain."""
     i = pl.program_id(0)
     j = pl.program_id(1)
     tile = i * tiles_x + j
-    n = counts_ref[tile, 0]
     # light_ref cols 0-2 (sun_dir) are unused in-kernel: the light dot is
     # baked into the per-corner light-numerator attribute at vertex setup
     power = light_ref[0, 3]
@@ -1651,12 +1695,13 @@ def _accum_chunks_kernel(counts_ref, light_ref, bins_ref, rows_hbm,
     X, Y = _tile_coords(i, j, tile_h, tile_w)
     zbase = zbase_ref[:, :]
 
-    def eval_entry(entry, base, carry):
-        del entry  # accum needs no ids; coeffs come from the staged rows
-        ar, ag, ab, cnt = carry
+    for c in range(3):
+        acc_ref[c, :, :] = jnp.zeros((tile_h, tile_w), jnp.float32)
+    cnt_ref[:, :] = jnp.zeros((tile_h, tile_w), jnp.int32)
 
+    def accum_group(base, grp):
         takes = []
-        for t in range(CHUNK):
+        for t in range(grp * GROUP, (grp + 1) * GROUP):
             r = lambda col, _t=t: scratch_ref[base + _t // ROW_TRIS, (_t % ROW_TRIS) * _HALF + col]  # noqa: E731
             e0a, e0b = r(0), r(1)
             e1a, e1b = r(3), r(4)
@@ -1673,14 +1718,18 @@ def _accum_chunks_kernel(counts_ref, light_ref, bins_ref, rows_hbm,
             takes.append(cov & (zv >= zbase))
 
         group_any = takes[0]
-        for t in takes[1:]:
-            group_any = group_any | t
+        for tk in takes[1:]:
+            group_any = group_any | tk
 
-        def shade_taken(args):
-            ar, ag, ab, cnt = args
-            for t in range(CHUNK):
+        @pl.when(jnp.any(group_any))
+        def _():
+            ar = acc_ref[0, :, :]
+            ag = acc_ref[1, :, :]
+            ab = acc_ref[2, :, :]
+            cnt = cnt_ref[:, :]
+            for k, t in enumerate(range(grp * GROUP, (grp + 1) * GROUP)):
                 r = lambda col, _t=t: scratch_ref[base + _t // ROW_TRIS, (_t % ROW_TRIS) * _HALF + col]  # noqa: E731
-                take = takes[t]
+                take = takes[k]
                 den = r(41) * X + r(42) * Y + r(43)
                 inv = jnp.where(den != 0.0, 1.0 / den, 0.0)
                 ln = (r(13) * X + r(19) * Y + r(25)) * inv
@@ -1693,20 +1742,24 @@ def _accum_chunks_kernel(counts_ref, light_ref, bins_ref, rows_hbm,
                 ag = jnp.where(take, ag + cg * (scale + amb_g), ag)
                 ab = jnp.where(take, ab + cb * (scale + amb_b), ab)
                 cnt = jnp.where(take, cnt + 1, cnt)
-            return ar, ag, ab, cnt
+            acc_ref[0, :, :] = ar
+            acc_ref[1, :, :] = ag
+            acc_ref[2, :, :] = ab
+            cnt_ref[:, :] = cnt
 
-        return jax.lax.cond(jnp.any(group_any), shade_taken,
-                            lambda args: args, (ar, ag, ab, cnt))
+    def eval_entry(entry, base, carry):
+        if N_GROUPS == 1:
+            accum_group(base, 0)
+        else:
+            gmask = entry & ENTRY_GMASK_ALL
+            for grp in range(N_GROUPS):
+                @pl.when(((gmask >> grp) & 1) != 0)
+                def _(grp=grp):
+                    accum_group(base, grp)
+        return carry
 
-    zero = jnp.zeros((tile_h, tile_w), jnp.float32)
-    cnt0 = jnp.zeros((tile_h, tile_w), jnp.int32)
-    ar1, ag1, ab1, cnt1 = _walk_bins_cols(
-        counts_ref, bins_ref, rows_hbm, scratch_ref, sem_ref, tile,
-        eval_entry, (zero, zero, zero, cnt0))
-    acc_ref[0, :, :] = ar1
-    acc_ref[1, :, :] = ag1
-    acc_ref[2, :, :] = ab1
-    cnt_ref[:, :] = cnt1
+    _walk_bins_cols(counts_ref, bins_ref, rows_hbm, scratch_ref, sem_ref,
+                    tile, eval_entry, 0)
 
 
 @functools.partial(
@@ -1916,9 +1969,9 @@ def rasterize_peel_fused(fat_rows, bins, counts, z_base, last_id, *,
 
 
 def _peel_stream_loop(counts_ref, bins_ref, rows_hbm, scratch_ref, sem_ref,
-                      zbase, last, init_state, *, tiles_x: int, tile_h: int,
+                      zbase, last, refs, *, tiles_x: int, tile_h: int,
                       tile_w: int):
-    """Chunk-streaming transparency peel loop (fused attrs, carried state).
+    """Chunk-streaming transparency peel loop (fused attrs, refs-RMW state).
 
     Same HBM->VMEM double-buffered chunk walk as _chunks_stream_loop, but
     the per-pixel reduction is the PEEL rule: among fragments that pass the
@@ -1926,20 +1979,24 @@ def _peel_stream_loop(counts_ref, bins_ref, rows_hbm, scratch_ref, sem_ref,
     submission-order peeling, one layer per call (the reference submits
     transparent draws in list order, vk_engine.cpp:1459-1465).
 
-    init_state/return: (best id, nums x4, metas x12) tile planes with
-    nums PRE-divide, so slabs compose (rasterize_peel_slabs).
+    State (best id, nums x4, metas x12; nums PRE-divide so slabs compose)
+    lives in the VMEM out refs, read-modify-written per GROUP skip group
+    gated on the entry's gmask bit (the opaque kernel's free scalar-bit
+    skip). The attribute winner test is id-equality against the post-chunk
+    best plane: within a walk only the FIRST eligible triangle ever takes
+    a pixel (ids ascend, take requires idx < best), and ids are globally
+    unique, so best == idx identifies exactly the old carried takes —
+    bit-identical, and each group's block RMWs the refs independently.
     """
     i = pl.program_id(0)
     j = pl.program_id(1)
     tile = i * tiles_x + j
     X, Y = _tile_coords(i, j, tile_h, tile_w)
+    best_ref, nums_ref, metas_ref = refs
 
-    def eval_entry(entry, base, carry):
-        best, nums, metas = carry
-
-        tid_base = (entry >> ENTRY_SHIFT) * CHUNK
-        takes = []
-        for t in range(CHUNK):
+    def vis_group(base, tid_base, grp):
+        best = best_ref[:, :]
+        for t in range(grp * GROUP, (grp + 1) * GROUP):
             r = lambda col, _t=t: scratch_ref[base + _t // ROW_TRIS, (_t % ROW_TRIS) * _HALF + col]  # noqa: E731
             idx = tid_base + t
             e0a, e0b = r(0), r(1)
@@ -1958,34 +2015,50 @@ def _peel_stream_loop(counts_ref, bins_ref, rows_hbm, scratch_ref, sem_ref,
             # zv >= 0 is subsumed by zv >= zbase (opaque depth, >= 0)
             take = cov & (zv >= zbase) & (idx > last) & (idx < best)
             best = jnp.where(take, idx, best)
-            takes.append(take)
+        best_ref[:, :] = best
 
-        group_any = takes[0]
-        for t in takes[1:]:
-            group_any = group_any | t
+    def attr_group(base, tid_base, best, grp):
+        nums = [nums_ref[a, :, :] for a in range(N_NUMS)]
+        metas = [metas_ref[m, :, :] for m in range(N_SMETA)]
+        for t in range(grp * GROUP, (grp + 1) * GROUP):
+            r = lambda col, _t=t: scratch_ref[base + _t // ROW_TRIS, (_t % ROW_TRIS) * _HALF + col]  # noqa: E731
+            take = best == (tid_base + t)
+            for a in range(N_NUMS):
+                num = r(13 + a) * X + r(19 + a) * Y + r(25 + a)
+                nums[a] = jnp.where(take, num, nums[a])
+            for m, col in enumerate(SMETA_COLS):
+                metas[m] = jnp.where(take, r(col), metas[m])
+        for a in range(N_NUMS):
+            nums_ref[a, :, :] = nums[a]
+        for m in range(N_SMETA):
+            metas_ref[m, :, :] = metas[m]
 
-        def attr_taken(args):
-            nums, metas = args
-            for t in range(CHUNK):
-                r = lambda col, _t=t: scratch_ref[base + _t // ROW_TRIS, (_t % ROW_TRIS) * _HALF + col]  # noqa: E731
-                take = takes[t]
-                new_nums = []
-                for a in range(N_NUMS):
-                    num = r(13 + a) * X + r(19 + a) * Y + r(25 + a)
-                    new_nums.append(jnp.where(take, num, nums[a]))
-                nums = tuple(new_nums)
-                metas = tuple(
-                    jnp.where(take, r(col), metas[m])
-                    for m, col in enumerate(SMETA_COLS))
-            return nums, metas
+    def eval_entry(entry, base, carry):
+        tid_base = (entry >> ENTRY_SHIFT) * CHUNK
+        gmask = entry & ENTRY_GMASK_ALL
+        if N_GROUPS == 1:
+            vis_group(base, tid_base, 0)
+        else:
+            for grp in range(N_GROUPS):
+                @pl.when(((gmask >> grp) & 1) != 0)
+                def _(grp=grp):
+                    vis_group(base, tid_base, grp)
 
-        nums, metas = jax.lax.cond(
-            jnp.any(group_any), attr_taken, lambda args: args,
-            (nums, metas))
-        return best, nums, metas
+        best = best_ref[:, :]
 
-    return _walk_bins_cols(counts_ref, bins_ref, rows_hbm, scratch_ref,
-                           sem_ref, tile, eval_entry, init_state)
+        @pl.when(jnp.any((best >= tid_base) & (best < tid_base + CHUNK)))
+        def _():
+            if N_GROUPS == 1:
+                attr_group(base, tid_base, best, 0)
+            else:
+                for grp in range(N_GROUPS):
+                    @pl.when(((gmask >> grp) & 1) != 0)
+                    def _(grp=grp):
+                        attr_group(base, tid_base, best, grp)
+        return carry
+
+    _walk_bins_cols(counts_ref, bins_ref, rows_hbm, scratch_ref,
+                    sem_ref, tile, eval_entry, 0)
 
 
 def _peel_outputs_gathered(best, nums, metas):
@@ -2020,32 +2093,20 @@ def _peel_state_specs(tile_h: int, tile_w: int):
     )
 
 
-def _peel_write_state(refs, state):
-    best_ref, nums_ref, metas_ref = refs
-    best1, nums1, metas1 = state
-    best_ref[:, :] = best1
-    for a in range(N_NUMS):
-        nums_ref[a, :, :] = nums1[a]
-    for m in range(N_SMETA):
-        metas_ref[m, :, :] = metas1[m]
-
-
 def _peel_chunks_fresh_kernel(counts_ref, bins_ref, rows_hbm, zbase_ref,
                               last_ref, best_ref, nums_ref, metas_ref,
                               scratch_ref, sem_ref, *,
                               tiles_x: int, tile_h: int, tile_w: int):
     """First peel slab: fresh peel state (best = ID_INF)."""
-    init = (
-        jnp.full((tile_h, tile_w), ID_INF, jnp.int32),
-        tuple(jnp.zeros((tile_h, tile_w), jnp.float32)
-              for _ in range(N_NUMS)),
-        tuple(jnp.zeros((tile_h, tile_w), jnp.float32)
-              for _ in range(N_SMETA)),
-    )
-    state = _peel_stream_loop(counts_ref, bins_ref, rows_hbm, scratch_ref,
-                              sem_ref, zbase_ref[:, :], last_ref[:, :], init,
-                              tiles_x=tiles_x, tile_h=tile_h, tile_w=tile_w)
-    _peel_write_state((best_ref, nums_ref, metas_ref), state)
+    best_ref[:, :] = jnp.full((tile_h, tile_w), ID_INF, jnp.int32)
+    for a in range(N_NUMS):
+        nums_ref[a, :, :] = jnp.zeros((tile_h, tile_w), jnp.float32)
+    for m in range(N_SMETA):
+        metas_ref[m, :, :] = jnp.zeros((tile_h, tile_w), jnp.float32)
+    _peel_stream_loop(counts_ref, bins_ref, rows_hbm, scratch_ref,
+                      sem_ref, zbase_ref[:, :], last_ref[:, :],
+                      (best_ref, nums_ref, metas_ref),
+                      tiles_x=tiles_x, tile_h=tile_h, tile_w=tile_w)
 
 
 def _peel_chunks_state_kernel(counts_ref, bins_ref, rows_hbm, zbase_ref,
@@ -2054,15 +2115,15 @@ def _peel_chunks_state_kernel(counts_ref, bins_ref, rows_hbm, zbase_ref,
                               scratch_ref, sem_ref, *,
                               tiles_x: int, tile_h: int, tile_w: int):
     """Continuation peel slab: carries the previous slab's peel state."""
-    init = (
-        best_in[:, :],
-        tuple(nums_in[a, :, :] for a in range(N_NUMS)),
-        tuple(metas_in[m, :, :] for m in range(N_SMETA)),
-    )
-    state = _peel_stream_loop(counts_ref, bins_ref, rows_hbm, scratch_ref,
-                              sem_ref, zbase_ref[:, :], last_ref[:, :], init,
-                              tiles_x=tiles_x, tile_h=tile_h, tile_w=tile_w)
-    _peel_write_state((best_ref, nums_ref, metas_ref), state)
+    best_ref[:, :] = best_in[:, :]
+    for a in range(N_NUMS):
+        nums_ref[a, :, :] = nums_in[a, :, :]
+    for m in range(N_SMETA):
+        metas_ref[m, :, :] = metas_in[m, :, :]
+    _peel_stream_loop(counts_ref, bins_ref, rows_hbm, scratch_ref,
+                      sem_ref, zbase_ref[:, :], last_ref[:, :],
+                      (best_ref, nums_ref, metas_ref),
+                      tiles_x=tiles_x, tile_h=tile_h, tile_w=tile_w)
 
 
 def _peel_slab_call(ccounts, bins3, rows64, z_base, last_id, state, *,

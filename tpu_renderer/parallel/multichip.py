@@ -316,61 +316,101 @@ def render_frame_multichip(buffers: SceneBuffers, params: FrameParams, *,
                     rows_t, cbins_t, ccounts_t, z, light,
                     tiles_x=tiles_x, tiles_y=tiles_y_band,
                     tile_w=tile_w, tile_h=tile_h)
+                delta = jax.lax.psum(delta, "tri")
+                cnt = jax.lax.psum(cnt, "tri")
+                # max per-pixel layer count == the single-chip while-loop's
+                # iteration count (each iteration peels one layer everywhere)
+                aux["transparent_layers"] = jax.lax.pmax(
+                    cnt.max().astype(jnp.int32), "rows")
+                covered = cnt > 0
+                rgb = jnp.where(covered[None],
+                                q(delta + fb[:3] * fb[3][None]), fb[:3])
+                alpha = jnp.where(covered, 1.0, fb[3])
+                fb = jnp.concatenate([rgb, alpha[None]], axis=0)
             else:
                 if not fused:
                     bins_t, counts_t, oflow_tt = refine(cbins_t, aabb_tl)
                     aux["bin_overflow_transparent_tris"] = jax.lax.pmax(
                         oflow_tt, ("rows", "tri"))
 
-                # textured: peel the local shard until dry (unbounded)
+                # textured: GLOBAL submission-order peel. Each iteration,
+                # every 'tri' shard peels its local next-eligible layer,
+                # candidates convert to global ids and a pmin elects the
+                # per-pixel winner — exactly the single-chip peel's
+                # next-smallest-id layer. The framebuffer composites and
+                # fp16-quantizes PER LAYER like the single-chip textured
+                # path does (pipeline.py one_peel), so sharded frames stay
+                # bit-identical to single-chip even for stacked textured
+                # transparency. (A per-shard peel + one psum'd delta was
+                # cheaper — max local layers vs global layers iterations —
+                # but quantized once at the end, a documented divergence
+                # this replaces.)
+                t_shard_t = tv.shape[0]
+                base_id = tri_idx * t_shard_t
+                na, nm = shade.N_ATTR, shade.N_META
+
                 def peel_body(carry):
-                    delta, cnt, last, _ = carry
+                    fbq, last, layers, _ = carry
+                    # global 'last' ids -> local eligibility threshold:
+                    # ids of this shard are globals [base_id, base_id+T);
+                    # earlier-shard winners clamp to -1 (all eligible),
+                    # later-shard winners stay above T (none eligible)
+                    last_local = jnp.clip(last - base_id, -1, raster.ID_INF)
                     if fused:
-                        layer, attrs_px, meta_px, inv_px = \
+                        layer_l, attrs_px, meta_px, inv_px = \
                             raster.rasterize_peel_slabs(
-                                rows_t, cbins_t, ccounts_t, z, last,
+                                rows_t, cbins_t, ccounts_t, z, last_local,
                                 tiles_x=tiles_x, tiles_y=tiles_y_band,
                                 tile_w=tile_w, tile_h=tile_h)
-                        found = layer < raster.ID_INF
+                    else:
+                        layer_l = raster.rasterize_peel(
+                            packed_tl, bins_t, counts_t, z, last_local,
+                            tiles_x=tiles_x, tiles_y=tiles_y_band,
+                            tile_w=tile_w, tile_h=tile_h)
+                    found_l = layer_l < raster.ID_INF
+                    gl = jnp.where(found_l, layer_l + base_id,
+                                   raster.ID_INF)
+                    layer = jax.lax.pmin(gl, "tri")
+                    found = layer < raster.ID_INF
+                    # exactly one shard holds the winner: psum the masked
+                    # planes (the opaque composite's pattern)
+                    win = found_l & (gl == layer)
+                    if fused:
+                        planes = jnp.concatenate(
+                            [attrs_px, meta_px, inv_px[None]], axis=0)
+                        planes = jax.lax.psum(
+                            jnp.where(win[None], planes, 0.0), "tri")
                         src = shade.shade_fused(
-                            attrs_px, meta_px, inv_px, buffers.atlas,
+                            planes[:na], planes[na:na + nm],
+                            planes[na + nm], buffers.atlas,
                             params.ambient[:3], params.sun_dir[:3],
                             params.sun_color[3], textured=transp_textured,
                             trilinear=trilinear, pot=pot)
                     else:
-                        layer = raster.rasterize_peel(
-                            packed_tl, bins_t, counts_t, z, last,
-                            tiles_x=tiles_x, tiles_y=tiles_y_band,
-                            tile_w=tile_w, tile_h=tile_h)
-                        found = layer < raster.ID_INF
-                        tl_layer = jnp.where(found, layer, 0)
+                        tl_layer = jnp.where(found_l, layer_l, 0)
                         src = shade.shade_core(
                             tl_layer, rows_t, buffers.atlas,
                             params.ambient[:3], params.sun_dir[:3],
                             params.sun_color[3], textured=transp_textured,
                             trilinear=trilinear, pot=pot)
-                    src = jnp.where(found[None], src, 0.0)
-                    delta = delta + src
-                    cnt = cnt + found.astype(jnp.int32)
+                        src = jax.lax.psum(
+                            jnp.where(win[None], src, 0.0), "tri")
+                    # additive blend + per-layer fp16 write-back
+                    # (vk_pipelines.cpp:157-167; draw image rgba16f)
+                    rgb = jnp.where(found[None],
+                                    src + fbq[:3] * fbq[3][None], fbq[:3])
+                    alpha = jnp.where(found, jnp.float32(1.0), fbq[3])
+                    fbq = q(jnp.concatenate([rgb, alpha[None]], axis=0))
                     last = jnp.where(found, layer, raster.ID_INF)
-                    return delta, cnt, last, found.any()
+                    return (fbq, last, layers + found.any().astype(jnp.int32),
+                            found.any())
 
-                init = (jnp.zeros_like(fb[:3]),
-                        jnp.zeros(z.shape, jnp.int32),
-                        jnp.full(z.shape, -1, jnp.int32),
-                        jnp.asarray(True))
-                delta, cnt, _, _ = jax.lax.while_loop(
+                init = (fb, jnp.full(z.shape, -1, jnp.int32),
+                        jnp.zeros((), jnp.int32), jnp.asarray(True))
+                fb, _, layers_found, _ = jax.lax.while_loop(
                     lambda c: c[3], peel_body, init)
-            delta = jax.lax.psum(delta, "tri")
-            cnt = jax.lax.psum(cnt, "tri")
-            # max per-pixel layer count == the single-chip while-loop's
-            # iteration count (each iteration peels one layer everywhere)
-            aux["transparent_layers"] = jax.lax.pmax(
-                cnt.max().astype(jnp.int32), "rows")
-            covered = cnt > 0
-            rgb = jnp.where(covered[None], q(delta + fb[:3] * fb[3][None]), fb[:3])
-            alpha = jnp.where(covered, 1.0, fb[3])
-            fb = jnp.concatenate([rgb, alpha[None]], axis=0)
+                aux["transparent_layers"] = jax.lax.pmax(
+                    layers_found, ("rows", "tri"))
 
         return fb, aux
 

@@ -79,6 +79,24 @@ class FrameParams(NamedTuple):
     sun_color: jax.Array  # (4,) f32 (.w = sun power, mesh.frag:18)
 
 
+def _concat_corners(a: "vertex.CornerData",
+                    b: "vertex.CornerData") -> "vertex.CornerData":
+    """Concatenate two CornerData blocks along the triangle axis (axis 0 on
+    the (T, ...) fields, the MINOR axis on the T-minor twins). Both inputs
+    are CHUNK-padded, so slices of downstream per-triangle results stay
+    chunk-aligned."""
+    cat = jnp.concatenate
+    return vertex.CornerData(
+        pos=cat([a.pos, b.pos]), nrm=cat([a.nrm, b.nrm]),
+        col=cat([a.col, b.col]), uv=cat([a.uv, b.uv]),
+        mat=cat([a.mat, b.mat]), meta6=cat([a.meta6, b.meta6]),
+        posT=cat([a.posT, b.posT], axis=-1),
+        nrmT=cat([a.nrmT, b.nrmT], axis=-1),
+        colT=cat([a.colT, b.colT], axis=-1),
+        uvT=cat([a.uvT, b.uvT], axis=-1),
+        meta6T=cat([a.meta6T, b.meta6T], axis=-1))
+
+
 def _bg_grad(d1, d2, hp: int, wp: int, height: int):
     yy = jnp.arange(hp, dtype=jnp.float32)[None, :, None] / jnp.float32(height)
     return d1[:, None, None] * (1.0 - yy) + d2[:, None, None] * yy \
@@ -177,16 +195,42 @@ def render_frame(buffers: SceneBuffers, params: FrameParams, *,
 
     z = jnp.full((hp, wp), raster.DEPTH_CLEAR, jnp.float32)
 
+    rows_t = t_aabb = t_valid = None
     if to > 0:
         if fused:
             # T-minor fused setup+rows (vertex.triangle_setup_rows): same
             # math as triangle_setup_c + build_shade_rows, ~2x cheaper
             # (lane-padding tax avoided; parity-test pinned)
-            rows, o_aabb, o_valid = vertex.triangle_setup_rows(
-                buffers.opaque_corners, buffers.opaque_tri_draw,
-                buffers.opaque_tri_valid, buffers.draw_model, vis, viewproj,
-                width, height, sun_dir=params.sun_dir[:3],
-            )
+            if tt > 0:
+                # ONE setup over opaque ++ transparent: the plane math is
+                # per-triangle elementwise, so slices of the combined call
+                # are bit-identical to two separate calls — one launch, one
+                # T-minor relayout, one 5-gather pass instead of two.
+                # Transparent draws are never culled (vk_engine.cpp:1459-65):
+                # they ride the combined per-draw visibility as always-true
+                # (their draw_opaque_mask bit is False).
+                corners_all = _concat_corners(
+                    buffers.opaque_corners, buffers.transp_corners)
+                vis_all = vis | ~buffers.draw_opaque_mask
+                rows_all, aabb_all, valid_all = vertex.triangle_setup_rows(
+                    corners_all,
+                    jnp.concatenate([buffers.opaque_tri_draw,
+                                     buffers.transp_tri_draw]),
+                    jnp.concatenate([buffers.opaque_tri_valid,
+                                     buffers.transp_tri_valid]),
+                    buffers.draw_model, vis_all, viewproj,
+                    width, height, sun_dir=params.sun_dir[:3],
+                )
+                rows, o_aabb, o_valid = \
+                    rows_all[:to], aabb_all[:to], valid_all[:to]
+                rows_t, t_aabb, t_valid = \
+                    rows_all[to:], aabb_all[to:], valid_all[to:]
+            else:
+                rows, o_aabb, o_valid = vertex.triangle_setup_rows(
+                    buffers.opaque_corners, buffers.opaque_tri_draw,
+                    buffers.opaque_tri_valid, buffers.draw_model, vis,
+                    viewproj, width, height, sun_dir=params.sun_dir[:3],
+                )
         else:
             setup = vertex.triangle_setup_c(
                 buffers.opaque_corners, buffers.opaque_tri_draw,
@@ -252,11 +296,12 @@ def render_frame(buffers: SceneBuffers, params: FrameParams, *,
     # --- transparent pass: additive, depth-test-only, via depth peeling ------
     if tt > 0:
         if fused:
-            rows_t, t_aabb, t_valid = vertex.triangle_setup_rows(
-                buffers.transp_corners, buffers.transp_tri_draw,
-                buffers.transp_tri_valid, buffers.draw_model, all_vis,
-                viewproj, width, height, sun_dir=params.sun_dir[:3],
-            )
+            if rows_t is None:  # to == 0: no combined setup ran above
+                rows_t, t_aabb, t_valid = vertex.triangle_setup_rows(
+                    buffers.transp_corners, buffers.transp_tri_draw,
+                    buffers.transp_tri_valid, buffers.draw_model, all_vis,
+                    viewproj, width, height, sun_dir=params.sun_dir[:3],
+                )
         else:
             setup_t = vertex.triangle_setup_c(
                 buffers.transp_corners, buffers.transp_tri_draw,
