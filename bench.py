@@ -220,6 +220,7 @@ def _run() -> int:
                 "pot": eng._pot,
                 "transp_textured": eng._transp_textured(),
                 "raster_chunk": raster_mod.CHUNK,
+                "raster_group": raster_mod.GROUP,
                 "raster_sort": os.environ.get("RASTER_SORT", "hilbert"),
             },
         },

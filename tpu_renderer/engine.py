@@ -142,17 +142,24 @@ class Engine:
                 self._auto_scale)
 
     # Measured v5e per-pixel cost model (docs/PERF.md: shade-stage
-    # decomposition + gather cost model; re-fit round 5 on the bench
-    # scenes): frame_ms(s) = fixed + Mpx*s^2*(base + taps*tap) + blit.
-    #   _COST_TAP_NS:   one mip-tap gather ~4.6 ns/px (the 6.5 MB-atlas
+    # decomposition + gather cost model): frame_ms(s) =
+    # fixed + Mpx*s^2*(base + taps*tap) + blit. Fit round 5 from measured
+    # bench points — trilinear 26.52 ms @ s=1.0 and 16.80 ms @ s=0.7 give
+    # the fixed/pixel split (0.51*P = 26.52-16.80-blit), the single-tap
+    # native point (17.09 ms) splits base from tap:
+    #   _COST_TAP_NS:   one mip-tap gather ~4.55 ns/px (the 6.5 MB-atlas
     #                   issue-rate floor; trilinear pays 2 taps — the wall)
-    #   _COST_BASE_NS:  raster + shade math + transparency + present ~3 ns/px
-    #   _COST_FIXED_MS: setup + sort + bin (pixel-independent)
+    #   _COST_BASE_NS:  pixel-scaled raster/shade-math/present ~1.3 ns/px
+    #   _COST_FIXED_MS: setup + sort + bin + the per-TRIANGLE share of the
+    #                   raster walk (does not shrink with the draw extent)
     #   _COST_BLIT_MS:  the linear upscale blit when s < 1
-    _COST_BASE_NS = 3.0
-    _COST_TAP_NS = 4.6
-    _COST_FIXED_MS = 1.5
+    # _COST_MARGIN keeps the pick under budget through tunnel/scene
+    # variance (a predicted 99%-of-budget frame is a coin flip).
+    _COST_BASE_NS = 1.3
+    _COST_TAP_NS = 4.55
+    _COST_FIXED_MS = 4.9
     _COST_BLIT_MS = 1.3
+    _COST_MARGIN = 0.97
 
     def _scene_taps(self) -> int:
         """Mip-tap gathers per textured pixel on this scene's hot path."""
@@ -176,7 +183,7 @@ class Engine:
         cfg = self.config
         if cfg.target_fps is None:
             return 1.0
-        budget_ms = 1000.0 / cfg.target_fps
+        budget_ms = self._COST_MARGIN * 1000.0 / cfg.target_fps
         s = 1.0
         while s > cfg.auto_scale_min and self._predict_frame_ms(s) > budget_ms:
             s = round(s - 0.05, 2)
