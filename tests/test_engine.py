@@ -360,3 +360,44 @@ def test_auto_quality_target_fps(tmp_path):
     assert eng4._auto_scale == cfg4.auto_scale_min
     img = eng4.draw()
     assert img.shape == (64, 256, 4) and img.dtype == np.uint8
+
+
+def test_sort_order_reuse_matches_fresh_sort(tmp_path):
+    """Temporal-coherence sort reuse (pipeline.frame_sort_orders): a frame
+    rendered with a precomputed spatial-sort permutation is bit-identical
+    to the fresh per-frame sort at the same camera, and a slightly STALE
+    permutation still renders the same image — any permutation is
+    semantically valid, only chunk locality shifts. (Reusing orders across
+    frames measured a net LOSS on the bench scan — locality freshness is
+    worth more than the argsort costs, tools/ab_sorthoist.py — so the
+    product paths sort fresh; this pins the hook's semantics.)"""
+    import jax.numpy as jnp
+
+    from tpu_renderer.pipeline import frame_sort_orders, render_frame
+
+    path = str(tmp_path / "scene.glb")
+    build_demo_glb(path, grid=3)
+    cfg = RendererConfig(width=256, height=128,
+                         camera_position=(0.0, 2.0, 8.0))
+    eng = Engine(cfg)
+    eng.init(scene_path=path)
+    params = eng.update_scene()
+    b = eng.flat.buffers
+    kw = dict(width=256, height=128, fused=True,
+              transp_textured=eng._transp_textured(),
+              trilinear=eng._trilinear, pot=eng._pot)
+
+    fresh, _ = render_frame(b, params, **kw)
+    orders = frame_sort_orders(b, params, width=256, height=128,
+                               transp_textured=eng._transp_textured())
+    assert orders[0] is not None
+    reused, _ = render_frame(b, params, sort_orders=orders, **kw)
+    assert np.array_equal(np.asarray(fresh), np.asarray(reused))
+
+    # stale: camera rotated ~2.3 deg, frame-0 orders reused
+    eng.camera.yaw = np.float32(0.04)
+    params2 = eng.update_scene()
+    fresh2, _ = render_frame(b, params2, **kw)
+    stale2, _ = render_frame(b, params2, sort_orders=orders, **kw)
+    a, s = np.asarray(fresh2), np.asarray(stale2)
+    assert (a != s).mean() < 1e-3  # z-tie tie-breaks only

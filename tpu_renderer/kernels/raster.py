@@ -209,9 +209,19 @@ def pad_for_raster(packed, aabb, valid):
     return packed, aabb, valid
 
 
-def spatial_sort(aabb, valid, *payloads):
+def spatial_sort(aabb, valid, *payloads, order=None):
     """Reorder triangles along a Hilbert curve over 8-px screen cells so
     CHUNK groups get TIGHT, roughly-square chunk AABBs.
+
+    order: an optional precomputed permutation (from sort_order) — the
+    key build + argsort are skipped and only the cheap payload permute
+    runs. ANY permutation renders correctly (binning re-derives overlap
+    from the permuted AABBs each frame); a stale one only loosens chunk
+    locality. Reusing a frame-0 permutation across the bench scan
+    measured a net LOSS (~0.2 ms/frame over a 6.8 deg yaw sweep — the
+    locality decay outweighs the argsort saving, tools/ab_sorthoist.py),
+    so the product paths keep the per-frame sort; this hook serves the
+    A/B and any future caller with a truly static camera.
 
     Submission order groups triangles by mesh (a cube = 12 tris), so CHUNK=8
     chunks straddle primitives and their AABBs span whole tiles — measured
@@ -233,6 +243,13 @@ def spatial_sort(aabb, valid, *payloads):
 
     Returns (aabb, valid, *payloads) all reordered by the same permutation.
     """
+    if order is None:
+        order = sort_order(aabb, valid)
+    return (aabb[order], valid[order]) + tuple(p[order] for p in payloads)
+
+
+def sort_order(aabb, valid):
+    """The spatial-sort permutation alone (see spatial_sort)."""
     y0 = jnp.floor(aabb[:, 1]).astype(jnp.int32)
     x0 = jnp.floor(aabb[:, 0]).astype(jnp.int32)
     _mode = _os_mod.environ.get("RASTER_SORT", SORT_MODE)
@@ -274,8 +291,7 @@ def spatial_sort(aabb, valid, *payloads):
         key = (jnp.clip(y0 >> 3, 0, (1 << 20) - 1) * 1024
                + jnp.clip(x0 >> 5, 0, 1023))
     key = jnp.where(valid, key, jnp.int32(2 ** 31 - 1))
-    order = jnp.argsort(key)  # stable: same-band keeps submission order
-    return (aabb[order], valid[order]) + tuple(p[order] for p in payloads)
+    return jnp.argsort(key)  # stable: same-band keeps submission order
 
 
 def chunk_aabbs(aabb, valid):

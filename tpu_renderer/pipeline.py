@@ -153,7 +153,7 @@ def render_frame(buffers: SceneBuffers, params: FrameParams, *,
                  transp_textured: bool = True, fused: bool = True,
                  trilinear: bool = True, pot: bool = False,
                  out_width: int = None, out_height: int = None,
-                 bg_fb=None):
+                 bg_fb=None, sort_orders=None):
     """Render one frame. Returns ((H, W) uint32 packed-RGBA image — see
     present.unpack_u8 for the host-side channel view — and an aux dict).
 
@@ -165,7 +165,12 @@ def render_frame(buffers: SceneBuffers, params: FrameParams, *,
 
     bg_fb: optional precomputed (4, Hp, Wp) background (render_frames hoists
     it out of the frame scan — the effect is a pure function of the
-    background params, which the engine holds constant within a batch)."""
+    background params, which the engine holds constant within a batch).
+
+    sort_orders: optional (opaque, transparent) spatial-sort permutations
+    (from frame_sort_orders) — temporal-coherence reuse that moves the
+    per-frame argsort off the hot path; see raster.spatial_sort. Either
+    element may be None to sort that pass fresh."""
     wp, hp = pad_extent(width, height, tile_h, tile_w)
     tiles_x, tiles_y = wp // tile_w, hp // tile_h
     n_tiles = tiles_x * tiles_y
@@ -246,7 +251,8 @@ def render_frame(buffers: SceneBuffers, params: FrameParams, *,
             # -> ~35% fewer chunk-bin entries to DMA + raster (see
             # raster.spatial_sort)
             aabb_s, valid_s, rows = raster.spatial_sort(
-                o_aabb, o_valid, rows)
+                o_aabb, o_valid, rows,
+                order=None if sort_orders is None else sort_orders[0])
             caabb, cvalid = raster.chunk_aabbs(aabb_s, valid_s)
             # fused chunk-streaming raster over UNCAPPED dense bins, walked
             # in slabs: attributes interpolate inside the kernel (no
@@ -325,7 +331,8 @@ def render_frame(buffers: SceneBuffers, params: FrameParams, *,
             # sort is semantically free here; it keeps CHUNK-triangle AABB
             # unions tight (unsorted submission order interleaves meshes)
             aabb_ta, valid_ta, rows_ta = raster.spatial_sort(
-                t_aabb, t_valid, rows_t)
+                t_aabb, t_valid, rows_t,
+                order=None if sort_orders is None else sort_orders[1])
             caabb_ta, cvalid_ta = raster.chunk_aabbs(aabb_ta, valid_ta)
             gaabb_ta, gvalid_ta = raster.group_aabbs(aabb_ta, valid_ta)
             cbins_tf, ccounts_tf = raster.bin_triangles_full(
@@ -438,6 +445,68 @@ def render_frame(buffers: SceneBuffers, params: FrameParams, *,
     return image, aux
 
 
+def _frame_sort_orders(buffers: SceneBuffers, params: FrameParams, *,
+                       width: int, height: int,
+                       transp_textured: bool = True):
+    """Spatial-sort permutations for the fused path's two sorted passes
+    (opaque stream raster + untextured-transparent accumulation), computed
+    for THIS camera but valid for any: binning re-derives tile overlap
+    from the permuted AABBs every frame, so a reused permutation only
+    loosens chunk locality (imperceptibly, for sub-degree camera deltas)
+    — see raster.spatial_sort. Runs the same combined T-minor setup as
+    render_frame; XLA dead-code-eliminates every output that doesn't feed
+    the AABBs, leaving the transform + key + argsort.
+
+    MEASURED LOSS as a product path: hoisting frame-0 orders out of the
+    bench scan cost ~0.2 ms/frame net — across the scan's 6.8 deg yaw
+    sweep the stale permutation loosens chunk locality by MORE than the
+    per-frame argsort costs (tools/ab_sorthoist.py; docs/PERF.md). Kept
+    as the measurement hook + the semantic pin that any permutation
+    renders correctly (tests/test_engine.py)."""
+    viewproj = (params.proj @ params.view).astype(jnp.float32)
+    to = buffers.opaque_tri_vidx.shape[0]
+    tt = buffers.transp_tri_vidx.shape[0]
+    vis = vertex.draw_visibility(viewproj, buffers.draw_model,
+                                 buffers.draw_bounds_origin,
+                                 buffers.draw_bounds_extents)
+    order_o = order_t = None
+    want_t = tt > 0 and not transp_textured
+    if to > 0 and tt > 0:
+        corners_all = _concat_corners(
+            buffers.opaque_corners, buffers.transp_corners)
+        vis_all = vis | ~buffers.draw_opaque_mask
+        _rows, aabb_all, valid_all = vertex.triangle_setup_rows(
+            corners_all,
+            jnp.concatenate([buffers.opaque_tri_draw,
+                             buffers.transp_tri_draw]),
+            jnp.concatenate([buffers.opaque_tri_valid,
+                             buffers.transp_tri_valid]),
+            buffers.draw_model, vis_all, viewproj,
+            width, height, sun_dir=params.sun_dir[:3])
+        order_o = raster.sort_order(aabb_all[:to], valid_all[:to])
+        if want_t:
+            order_t = raster.sort_order(aabb_all[to:], valid_all[to:])
+    elif to > 0:
+        _rows, aabb, valid = vertex.triangle_setup_rows(
+            buffers.opaque_corners, buffers.opaque_tri_draw,
+            buffers.opaque_tri_valid, buffers.draw_model, vis, viewproj,
+            width, height, sun_dir=params.sun_dir[:3])
+        order_o = raster.sort_order(aabb, valid)
+    elif want_t:
+        _rows, aabb, valid = vertex.triangle_setup_rows(
+            buffers.transp_corners, buffers.transp_tri_draw,
+            buffers.transp_tri_valid, buffers.draw_model,
+            jnp.ones_like(vis), viewproj,
+            width, height, sun_dir=params.sun_dir[:3])
+        order_t = raster.sort_order(aabb, valid)
+    return order_o, order_t
+
+
+frame_sort_orders = jax.jit(
+    _frame_sort_orders,
+    static_argnames=("width", "height", "transp_textured"))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "tile_h", "tile_w",
@@ -460,6 +529,11 @@ def render_frames(buffers: SceneBuffers, params_batch: FrameParams, **kw):
                         kw.get("tile_h", 32), kw.get("tile_w", 128))
     first = jax.tree.map(lambda x: x[0], params_batch)
     bg_fb = _background(first, hp, wp, kw["height"])
+
+    # NOTE the spatial sort stays per-frame here: hoisting one frame-0
+    # permutation out of the scan (sort_orders=frame_sort_orders(...))
+    # measured a net LOSS — see tools/ab_sorthoist.py and docs/PERF.md
+    # ("sort hoisting loses").
 
     def step(_, p):
         img, _aux = render_frame(buffers, p, bg_fb=bg_fb, **kw)
